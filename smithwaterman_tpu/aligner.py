@@ -1,0 +1,242 @@
+"""Pairwise aligner: the user-facing engine.
+
+API parity with the reference Rust engine
+(/root/reference/rust/sequence_alignment/src/sequence_alignment.rs:15-551):
+``align(s1, s2, retain_all)``, ``align_partial(..., partial_region,
+score_only)``, three modes, any ScoringMatrix.
+
+TPU-native structure: the O(n·m) fill runs on device (lax.scan reference path
+here; Pallas kernel via the batch API), shapes are bucketed so XLA compiles a
+handful of static programs, and the O(n+m) pointer walk runs on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    GLOBAL,
+    GLOCAL,
+    LOCAL,
+    AlignConfig,
+    CELL_MATCH,
+    bucket_len,
+)
+from .io.fasta import SeqData
+from .matrices import ScoringMatrix, SubstitutionMatrix
+from .ops import scan_dp, traceback
+
+
+@dataclass
+class AlignResult:
+    aligned1: str
+    aligned2: str
+    score: float
+    # 0-based inclusive span of aligned residues in each input (local mode;
+    # -1 when nothing aligned).
+    start1: int = -1
+    end1: int = -1
+    start2: int = -1
+    end2: int = -1
+
+
+def _as_seqdata(s) -> SeqData:
+    if isinstance(s, SeqData):
+        return s
+    return SeqData(name="", desc="", seq=str(s))
+
+
+class Aligner:
+    """Three-mode affine-gap pairwise aligner.
+
+    >>> a = Aligner(mode=LOCAL)
+    >>> r = a.align("HEAGAWGHEE", "PAWHEAE")
+    """
+
+    def __init__(
+        self,
+        scoring_matrix: Optional[ScoringMatrix] = None,
+        gap_open: float = 10.0,
+        gap_extend: float = 0.5,
+        mode: int = LOCAL,
+        config: Optional[AlignConfig] = None,
+    ):
+        if config is None:
+            config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
+        self.config = config
+        self.scoring_matrix = scoring_matrix or SubstitutionMatrix.blosum62()
+
+    # ------------------------------------------------------------------
+    @property
+    def mode(self) -> int:
+        return self.config.mode
+
+    def prepare(self, s1, s2) -> None:
+        """Parity hook for PositionSpecificMatrix (rs:51-54)."""
+        self.scoring_matrix.prepare(_as_seqdata(s1), _as_seqdata(s2))
+
+    # ------------------------------------------------------------------
+    def align(self, s1, s2, retain_all: bool = True) -> AlignResult:
+        return self.align_partial(s1, s2, retain_all, None, False)
+
+    def score(self, s1, s2) -> float:
+        return self.align_partial(s1, s2, True, None, True).score
+
+    def align_partial(
+        self,
+        s1,
+        s2,
+        retain_all: bool = True,
+        partial_region: Optional[Tuple[int, int]] = None,
+        score_only: bool = False,
+    ) -> AlignResult:
+        s1 = _as_seqdata(s1)
+        s2 = _as_seqdata(s2)
+        p1 = partial_region[0] if partial_region else None
+        p2 = partial_region[1] if partial_region else None
+        codes1 = self.scoring_matrix.seq_to_index(s1.seq, p1)
+        codes2 = self.scoring_matrix.seq_to_index(s2.seq, p2)
+        n, m = len(codes1), len(codes2)
+
+        if n == 0 or m == 0:
+            return self._degenerate(s1, s2, n, m, retain_all, score_only)
+
+        npad, mpad = bucket_len(n, self.config.buckets), bucket_len(
+            m, self.config.buckets
+        )
+        S = np.zeros((npad, mpad), dtype=np.float32)
+        S[:n, :m] = self.scoring_matrix.dense_scores(codes1, codes2)
+
+        res = scan_dp.fill(
+            jnp.asarray(S),
+            jnp.int32(n),
+            jnp.int32(m),
+            jnp.float32(self.config.og),
+            jnp.float32(self.config.eg),
+            mode=self.mode,
+            with_traceback=not score_only,
+        )
+
+        if self.mode == LOCAL:
+            maxscore = float(res.best)
+            if maxscore < 0.0:
+                maxscore = 0.0
+        else:
+            maxscore = float(res.final[res.final_state])
+
+        if score_only:
+            return AlignResult("", "", maxscore)
+
+        tb = np.asarray(res.tb)
+        if self.mode == LOCAL:
+            if float(res.best) <= 0.0:
+                idx1: List[int] = []
+                idx2: List[int] = []
+            else:
+                idx1, idx2 = traceback.walk(
+                    tb, int(res.best_i), int(res.best_j), CELL_MATCH, True
+                )
+        else:
+            idx1, idx2 = traceback.walk(
+                tb, n, m, int(res.final_state), False
+            )
+
+        return self._reconstruct(s1, s2, p1, p2, idx1, idx2, maxscore, retain_all)
+
+    # ------------------------------------------------------------------
+    def _reconstruct(
+        self,
+        s1: SeqData,
+        s2: SeqData,
+        p1: Optional[int],
+        p2: Optional[int],
+        idx1: Sequence[int],
+        idx2: Sequence[int],
+        score: float,
+        retain_all: bool,
+    ) -> AlignResult:
+        """String reconstruction + full-length terminal padding
+        (parity: sequence_alignment.rs:469-551)."""
+        seq1 = s1.seq if p1 is None else s1.seq[:p1]
+        seq2 = s2.seq if p2 is None else s2.seq[:p2]
+
+        a1: List[str] = []
+        a2: List[str] = []
+        start1 = start2 = -1
+        end1 = end2 = -1
+        for ii in idx1:
+            if ii > -1:
+                if start1 < 0:
+                    start1 = ii
+                a1.append(seq1[ii])
+                end1 = ii
+            else:
+                a1.append("-")
+        for ii in idx2:
+            if ii > -1:
+                if start2 < 0:
+                    start2 = ii
+                a2.append(seq2[ii])
+                end2 = ii
+            else:
+                a2.append("-")
+
+        if self.mode == LOCAL and not retain_all:
+            return AlignResult(
+                "".join(a1), "".join(a2), score, start1, end1, start2, end2
+            )
+        if self.mode != LOCAL and not retain_all:
+            import sys
+
+            sys.stderr.write("The glocal or global mode will retain all letters.\n")
+
+        if start1 < 0 or start2 < 0:
+            # nothing aligned: seq1 over gaps, then gaps over seq2 (rs:512-524)
+            r1 = list(seq1) + ["-"] * len(seq2)
+            r2 = ["-"] * len(seq1) + list(seq2)
+            return AlignResult("".join(r1), "".join(r2), score, -1, -1, -1, -1)
+
+        r1 = []
+        r2 = []
+        for ii in range(start1):
+            r1.append(seq1[ii])
+            r2.append("-")
+        for ii in range(start2):
+            r1.append("-")
+            r2.append(seq2[ii])
+        r1 += a1
+        r2 += a2
+        for ii in range(end1 + 1, len(seq1)):
+            r1.append(seq1[ii])
+            r2.append("-")
+        for ii in range(end2 + 1, len(seq2)):
+            r1.append("-")
+            r2.append(seq2[ii])
+        return AlignResult("".join(r1), "".join(r2), score, start1, end1, start2, end2)
+
+    # ------------------------------------------------------------------
+    def _degenerate(
+        self, s1: SeqData, s2: SeqData, n: int, m: int, retain_all: bool, score_only: bool
+    ) -> AlignResult:
+        """Empty-sequence handling (boundary-only DP, computed in closed form)."""
+        og, eg = self.config.og, self.config.eg
+        if self.mode == GLOBAL:
+            so, se = og, eg
+        else:
+            so, se = 0.0, 0.0
+        if self.mode == LOCAL:
+            score = 0.0
+        else:
+            k = max(n, m)
+            score = 0.0 if k == 0 else k * se + (so - se)
+        if score_only:
+            return AlignResult("", "", score)
+        if self.mode == LOCAL and not retain_all:
+            return AlignResult("", "", score)
+        r1 = s1.seq + "-" * m
+        r2 = "-" * n + s2.seq
+        return AlignResult(r1, r2, score, -1, -1, -1, -1)

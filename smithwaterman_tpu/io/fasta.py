@@ -1,0 +1,105 @@
+"""FASTA I/O with the reference's exact edge-case tolerance.
+
+Parity target: ``SeqData``/``load_fasta`` in
+/root/reference/rust/sequence_alignment/src/sequence_alignment.rs:797-889,
+validated by the reference's ``sw_fastaloadtest`` fixture
+(rust/sequence_alignment/test/test1.fas):
+
+  * a line containing ``>`` anywhere starts a new record (with a warning when
+    the ``>`` is not at column 0);
+  * the header line is trimmed; a leading ``>`` (after trim) is skipped; the
+    name is the first whitespace-delimited token, the rest is the description;
+  * a record with neither name nor sequence is dropped;
+  * sequence lines keep letters verbatim (no uppercasing), whitespace removed.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Iterable, List
+
+__all__ = ["SeqData", "load_fasta", "parse_fasta", "write_fasta"]
+
+
+@dataclass
+class SeqData:
+    """One FASTA record. ``seq`` is the raw residue string (case preserved)."""
+
+    name: str = ""
+    desc: str = ""
+    seq: str = ""
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+    @classmethod
+    def create(cls, name: str, desc: str, seq: str, retain_ws: bool = True) -> "SeqData":
+        """Parity with reference ``SeqData::create`` (sequence_alignment.rs:808-821):
+        with ``retain_ws`` only CR/LF are removed, otherwise all whitespace."""
+        if retain_ws:
+            cleaned = seq.replace("\r", "").replace("\n", "")
+        else:
+            cleaned = "".join(c for c in seq if not c.isspace())
+        return cls(name=name, desc=desc, seq=cleaned)
+
+
+def _parse_header(line: str) -> tuple:
+    line = line.strip()
+    name_chars: List[str] = []
+    desc_chars: List[str] = []
+    in_name = True
+    for i, ch in enumerate(line):
+        if in_name:
+            if i == 0 and ch == ">":
+                continue
+            if ch.isspace():
+                if name_chars:
+                    in_name = False
+                continue
+            name_chars.append(ch)
+        else:
+            desc_chars.append(ch)
+    return "".join(name_chars), "".join(desc_chars)
+
+
+def parse_fasta(lines: Iterable[str], retain_ws: bool = False) -> List[SeqData]:
+    records: List[SeqData] = []
+    seq_parts: List[str] = []
+    name = ""
+    desc = ""
+
+    def flush():
+        if seq_parts or name:
+            records.append(SeqData(name=name, desc=desc, seq="".join(seq_parts)))
+
+    for raw in lines:
+        line = raw.rstrip("\n").rstrip("\r")
+        pos = line.find(">")
+        if pos >= 0:
+            flush()
+            if pos > 0:
+                sys.stderr.write(
+                    f"> was found at {pos}. This line was used as header anyway.\n"
+                )
+            name, desc = _parse_header(line)
+            seq_parts = []
+        else:
+            if retain_ws:
+                seq_parts.append(line.replace("\r", "").replace("\n", ""))
+            else:
+                seq_parts.append("".join(c for c in line if not c.isspace()))
+    flush()
+    return records
+
+
+def load_fasta(path: str, retain_ws: bool = False) -> List[SeqData]:
+    with open(path, "r") as f:
+        return parse_fasta(f, retain_ws=retain_ws)
+
+
+def write_fasta(path: str, records: Iterable[SeqData], with_desc: bool = True) -> None:
+    with open(path, "w") as f:
+        for r in records:
+            header = f">{r.name} {r.desc}" if with_desc else f">{r.name}"
+            f.write(f"{header}\n{r.seq}\n")

@@ -1,0 +1,116 @@
+"""Host-side traceback from packed predecessor pointers.
+
+The device fill emits one uint8 per cell: prev-state of M in bits 0-1, of X
+in bits 2-3, of Y in bits 4-5 (value 3 = local-mode "score is exactly zero,
+stop here").  Walking the pointers is O(n+m) and serial, so it runs on host —
+the split mirrors the reference GPU engine, which also reads packed flags back
+and reconstructs strings host-side
+(/root/reference/rust/sa_opencl/src/opencl_sequence_alignment.rs:765-795).
+
+Loop semantics parity: sequence_alignment.rs:352-383.
+
+A C++ walker (csrc/traceback.cpp, loaded via ctypes) is used when available;
+the NumPy/Python fallback is semantically identical.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import CELL_GAPINX, CELL_GAPINY, CELL_MATCH, CELL_STOP, LOCAL
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _load_native():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(here, "_native", "libswtrace.so"),
+        os.path.join(os.path.dirname(here), "csrc", "libswtrace.so"),
+    ):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.sw_traceback.restype = ctypes.c_int64
+                lib.sw_traceback.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),  # tb
+                    ctypes.c_int64,  # row stride (mpad+1)
+                    ctypes.c_int64,  # start i
+                    ctypes.c_int64,  # start j
+                    ctypes.c_int64,  # start state
+                    ctypes.c_int64,  # local flag
+                    ctypes.POINTER(ctypes.c_int64),  # out idx1
+                    ctypes.POINTER(ctypes.c_int64),  # out idx2
+                    ctypes.c_int64,  # out capacity
+                ]
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def walk(
+    tb: np.ndarray, si: int, sj: int, state: int, local: bool
+) -> Tuple[List[int], List[int]]:
+    """Walk packed pointers from (si, sj, state); returns aligned index lists
+    (−1 = gap), in left-to-right order.  Parity: sequence_alignment.rs:349-386.
+    """
+    lib = _load_native()
+    if lib is not None:
+        cap = int(si + sj + 2)
+        o1 = np.empty(cap, dtype=np.int64)
+        o2 = np.empty(cap, dtype=np.int64)
+        tbc = np.ascontiguousarray(tb)
+        count = lib.sw_traceback(
+            tbc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            tbc.shape[1],
+            si,
+            sj,
+            state,
+            1 if local else 0,
+            o1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            o2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if count >= 0:
+            return o1[:count][::-1].tolist(), o2[:count][::-1].tolist()
+        # fall through to python on error
+
+    r1: List[int] = []
+    r2: List[int] = []
+    i, j, s = int(si), int(sj), int(state)
+    while True:
+        prev = (int(tb[i, j]) >> (2 * s)) & 3
+        if local and prev == CELL_STOP:
+            break
+        if s == CELL_MATCH:
+            r1.append(i - 1)
+            r2.append(j - 1)
+            i -= 1
+            j -= 1
+        elif s == CELL_GAPINX:
+            r1.append(-1)
+            r2.append(j - 1)
+            j -= 1
+        elif s == CELL_GAPINY:
+            r1.append(i - 1)
+            r2.append(-1)
+            i -= 1
+        else:  # pragma: no cover - corrupt pointer
+            raise RuntimeError(f"invalid traceback state {s} at ({i},{j})")
+        if i == 0 and j == 0:
+            break
+        s = prev
+    r1.reverse()
+    r2.reverse()
+    return r1, r2
