@@ -70,8 +70,11 @@ def parse_fasta(lines: Iterable[str], retain_ws: bool = False) -> List[SeqData]:
     desc = ""
 
     def flush():
-        if seq_parts or name:
-            records.append(SeqData(name=name, desc=desc, seq="".join(seq_parts)))
+        # a record with neither name nor sequence is dropped (parity:
+        # sequence_alignment.rs:869-874 via the reference's bare-`>` fixture)
+        seq = "".join(seq_parts)
+        if seq or name:
+            records.append(SeqData(name=name, desc=desc, seq=seq))
 
     for raw in lines:
         line = raw.rstrip("\n").rstrip("\r")

@@ -1,0 +1,393 @@
+"""Pallas TPU fill kernel: batched 3-state affine-gap DP.
+
+TPU-native replacement for the reference's OpenCL wavefront kernel
+(/root/reference/rust/sa_opencl/src/opencl_sequence_alignment.rs:324-542).
+Where the reference parallelizes *within* one DP matrix (one work-item per
+column, spin-waiting on neighbor flags), this kernel parallelizes *across*
+pairs and vectorizes *within* each row:
+
+  * A grid step owns a tile of ``TB = 8`` pairs, laid out on the VPU's 8
+    sublanes; the j axis (columns, length ``MP``) rides the 128-lane axis.
+  * Rows are filled sequentially (the true data dependence).  The only
+    intra-row dependence — the gap-in-seq1 state ``X[j] = max(G[j-1],
+    X[j-1]+pe)`` — is a max-plus prefix scan, computed with a
+    Hillis-Steele cummax over lanes (exact in f32: all scores are
+    half-integers).  No spinlocks, no racy flags: dependencies live in the
+    loop structure, which is the idiomatic TPU answer to the reference's
+    flag-polling wavefront.
+  * Substitution scores are precomputed outside the kernel (one-hot matmul
+    on the MXU / gather, see ``ops/batch.py``) and streamed as int8 (or f32
+    for non-integer matrices), 1 byte per cell of HBM traffic.
+  * Per-cell traceback pointers (2 bits x 3 states, packed uint8, same
+    packing idea as the reference's flag matrix, opencl:512) stream back to
+    HBM; the O(n+m) pointer walk runs on host, mirroring the reference GPU
+    engine's host-side backtrack split (opencl:765-795).
+  * The per-column best/argmax tracking mirrors opencl:507-524 but in
+    registers: a running (pair, lane) max with first-row-wins tie rule,
+    reduced at the last row block with the exact i-major/j-minor
+    first-encounter rule of the reference (sequence_alignment.rs:282-295).
+
+Cell semantics are bit-identical to ``ops/scan_dp.fill`` (which is itself
+validated string-exact against all 300 EMBOSS golden fixtures); equivalence
+is enforced by tests/test_pallas_kernel.py.
+
+Layout: callers pass S (and receive tb) as ``(G, NP, TB, MP)`` where
+``B = G*TB`` pairs — each row slab ``(TB, MP)`` is then a native
+(sublane, lane) tile, so the row loop never re-lays-out data.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
+
+TB = 8  # pairs per grid step = VPU sublane count
+NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
+BIGI = jnp.int32(2**30)
+
+# stats lane layout (per pair): [best, best_i, best_j, finalM, finalX, finalY, 0, 0]
+STATS_W = 8
+
+
+def _row_block(np_pad: int, mp_pad: int, itemsize: int) -> int:
+    """Rows per S/tb block so a block stays ~<=1 MiB (double-buffered DMA)."""
+    budget = 1 << 20
+    rb = max(8, budget // max(1, TB * mp_pad * itemsize))
+    rb = 1 << (rb.bit_length() - 1)  # floor to power of two
+    return min(rb, np_pad)
+
+
+def _shift_right(v, fill):
+    pad = jnp.broadcast_to(fill, v.shape[:-1] + (1,)).astype(v.dtype)
+    return jnp.concatenate([pad, v[:, :-1]], axis=1)
+
+
+def _cummax_lanes(v, width: int):
+    sh = 1
+    while sh < width:
+        shifted = jnp.concatenate(
+            [jnp.full(v.shape[:-1] + (sh,), NEG, v.dtype), v[:, :-sh]], axis=1
+        )
+        v = jnp.maximum(v, shifted)
+        sh *= 2
+    return v
+
+
+def _kernel(
+    n_ref,      # (1, TB, 1) i32 VMEM
+    m_ref,      # (1, TB, 1) i32 VMEM
+    s_ref,      # (1, RB, TB, MP) int8/f32 VMEM
+    tb_ref,     # (1, RB, TB, MP) uint8 VMEM (absent when score_only)
+    stats_ref,  # (1, TB, STATS_W) f32 VMEM
+    cm, cx, cy,           # (TB, MP) f32 scratch: row carries
+    runbest, runbest_i,   # (TB, MP) f32 / i32 scratch (local argmax)
+    acc,                  # (TB, STATS_W) f32 scratch (final-cell capture)
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    rb_rows: int,
+    mp: int,
+    n_row_blocks: int,
+    score_only: bool,
+):
+    rb = pl.program_id(1)
+    if mode == GLOBAL:
+        so, se = og, eg
+    else:
+        so, se = 0.0, 0.0
+    sent = 10.0 * og + 10.0 * eg
+
+    nvec = n_ref[0, :, :]            # (TB, 1)
+    mvec = m_ref[0, :, :]            # (TB, 1)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (TB, mp), 1)  # lane l <-> j = l+1
+    jf1 = (jl + 1).astype(jnp.float32)
+    lanef = jl.astype(jnp.float32)
+
+    # column masks for glocal's free-last-column Y penalties (rs:169-170);
+    # no-op for global (so == og) and unused for local.
+    if mode == GLOCAL:
+        last_col = jl + 1 == mvec
+        qo = jnp.where(last_col, so, og)
+        qe = jnp.where(last_col, se, eg)
+    else:
+        qo, qe = og, eg
+
+    valid_j = jl < mvec  # lanes carrying real columns
+
+    @pl.when(rb == 0)
+    def _init():
+        # boundary row i == 0, j = 1..MP (rs:100-108)
+        lsc = jf1 * se + (so - se)
+        cm[:, :] = lsc + sent
+        cx[:, :] = lsc
+        cy[:, :] = lsc + sent
+        if mode == LOCAL and not score_only:
+            runbest[:, :] = jnp.full((TB, mp), NEG, jnp.float32)
+            runbest_i[:, :] = jnp.full((TB, mp), BIGI, jnp.int32)
+        if mode == LOCAL and score_only:
+            runbest[:, :] = jnp.full((TB, mp), NEG, jnp.float32)
+        if mode != LOCAL:
+            acc[:, :] = jnp.zeros((TB, STATS_W), jnp.float32)
+
+    def row_step(r, _):
+        i = rb * rb_rows + r + 1  # 1-based global row
+        fi = jnp.float32(i)
+        srow = s_ref[0, r, :, :].astype(jnp.float32)
+
+        Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
+
+        # boundary values at (i-1, 0) / (i, 0) (rs:88-93,109-117)
+        lsc_im1 = (fi - 1.0) * se + (so - se)
+        lsc_i = fi * se + (so - se)
+        at_first = i == 1
+        fill_m = jnp.where(at_first, 0.0, lsc_im1 + sent)
+        fill_x = jnp.where(at_first, -1.0, lsc_im1)
+        fill_y = jnp.where(at_first, -1.0, lsc_im1 + sent)
+
+        # ---- M: from (i-1, j-1); tie order M >= X >= Y (rs:139-158)
+        Mp1 = _shift_right(Mp, fill_m)
+        Xp1 = _shift_right(Xp, fill_x)
+        Yp1 = _shift_right(Yp, fill_y)
+        val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
+        if not score_only:
+            m_ge_x = Mp1 >= Xp1
+            m_ge_y = Mp1 >= Yp1
+            x_ge_y = Xp1 >= Yp1
+            prev_m = jnp.where(
+                m_ge_x, jnp.where(m_ge_y, 0, 2), jnp.where(x_ge_y, 1, 2)
+            )
+
+        # ---- Y: gap in seq2, from (i-1, j) (prev row, same j)
+        if mode == LOCAL:
+            # rs:233-252 — `>=` favors M-open; inner `>` favors X on ties
+            c1 = Mp + og >= Yp + eg
+            c2 = Mp > Xp
+            c3 = Yp + eg > Xp + og
+            val_y = jnp.where(
+                c1,
+                jnp.where(c2, Mp + og, Xp + og),
+                jnp.where(c3, Yp + eg, Xp + og),
+            )
+        else:
+            # rs:192-211 — strict `>` for M-open vs Y-extend
+            c1 = Mp + qo > Yp + qe
+            c2 = Mp >= Xp
+            c3 = Yp + qe >= Xp + qo
+            val_y = jnp.maximum(jnp.maximum(Mp + qo, Yp + qe), Xp + qo)
+        if not score_only:
+            prev_y = jnp.where(c1, jnp.where(c2, 0, 1), jnp.where(c3, 2, 1))
+
+        if mode == LOCAL:
+            val_m = jnp.maximum(val_m, 0.0)
+            val_y = jnp.maximum(val_y, 0.0)
+
+        # ---- X: gap in seq1, from (i, j-1) — max-plus prefix scan
+        if mode == GLOCAL:
+            # free gaps along the last row of seq1 (rs:166-167), per pair
+            last_row = i == nvec  # (TB, 1)
+            po = jnp.where(last_row, so, og)
+            pe = jnp.where(last_row, se, eg)
+        else:
+            po, pe = og, eg
+        x0b = lsc_i + sent  # boundary X at (i, 0)
+        g0 = lsc_i + po     # max(M,Y) at (i, 0) + po  (Y=lsc_i dominates)
+        gline = jnp.maximum(val_m, val_y) + po
+        hraw = _shift_right(gline, g0)
+        h = hraw - lanef * pe
+        h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (TB, 1)),
+                         x0b + pe)
+        h = jnp.where(jl == 0, jnp.broadcast_to(h0, (TB, mp)), h)
+        c = _cummax_lanes(h, mp)
+        val_x = c + lanef * pe
+        if mode == LOCAL:
+            val_x = jnp.maximum(val_x, 0.0)
+
+        if not score_only:
+            # X predecessor pointers, recovered elementwise (rs:172-189/214-231)
+            Mm1 = _shift_right(val_m, lsc_i + sent)
+            Xm1 = _shift_right(val_x, x0b)
+            Ym1 = _shift_right(val_y, lsc_i)
+            if mode == LOCAL:
+                d1 = Mm1 + og >= Xm1 + eg
+                d2 = Mm1 > Ym1
+                d3 = Xm1 + eg > Ym1 + og
+            else:
+                d1 = Mm1 + po > Xm1 + pe
+                d2 = Mm1 >= Ym1
+                d3 = Xm1 + pe >= Ym1 + po
+            prev_x = jnp.where(d1, jnp.where(d2, 0, 2), jnp.where(d3, 1, 2))
+
+            if mode == LOCAL:
+                prev_m = jnp.where(val_m == 0.0, CELL_STOP, prev_m)
+                prev_x = jnp.where(val_x == 0.0, CELL_STOP, prev_x)
+                prev_y = jnp.where(val_y == 0.0, CELL_STOP, prev_y)
+
+            tb_ref[0, r, :, :] = (
+                prev_m.astype(jnp.uint8)
+                | (prev_x.astype(jnp.uint8) << 2)
+                | (prev_y.astype(jnp.uint8) << 4)
+            )
+
+        # ---- running best (local): strict `>` keeps the first (smallest) i
+        if mode == LOCAL:
+            in_range = valid_j & (i <= nvec)
+            masked = jnp.where(in_range, val_m, NEG)
+            if score_only:
+                runbest[:, :] = jnp.maximum(runbest[:, :], masked)
+            else:
+                upd = masked > runbest[:, :]
+                runbest[:, :] = jnp.where(upd, masked, runbest[:, :])
+                runbest_i[:, :] = jnp.where(upd, i, runbest_i[:, :])
+        else:
+            # capture (M, X, Y) at (n, m) the row each pair's n is reached
+            take = (i == nvec) & (jl + 1 == mvec)  # (TB, MP)
+            zero = jnp.zeros((TB, 1), jnp.float32)
+            fm = jnp.sum(jnp.where(take, val_m, 0.0), axis=1, keepdims=True)
+            fx = jnp.sum(jnp.where(take, val_x, 0.0), axis=1, keepdims=True)
+            fy = jnp.sum(jnp.where(take, val_y, 0.0), axis=1, keepdims=True)
+            pad = jnp.zeros((TB, STATS_W - 6), jnp.float32)
+            acc[:, :] = acc[:, :] + jnp.concatenate(
+                [zero, zero, zero, fm, fx, fy, pad], axis=1
+            )
+
+        cm[:, :] = val_m
+        cx[:, :] = val_x
+        cy[:, :] = val_y
+        return 0
+
+    jax.lax.fori_loop(0, rb_rows, row_step, 0, unroll=False)
+
+    @pl.when(rb == n_row_blocks - 1)
+    def _finish():
+        if mode == LOCAL:
+            gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)  # (TB, 1)
+            if score_only:
+                zeros = jnp.zeros((TB, STATS_W - 1), jnp.float32)
+                stats_ref[0, :, :] = jnp.concatenate([gmax, zeros], axis=1)
+            else:
+                cand = runbest[:, :] == gmax
+                ci = jnp.where(cand, runbest_i[:, :], BIGI)
+                min_i = jnp.min(ci, axis=1, keepdims=True)
+                cj = jnp.where(cand & (runbest_i[:, :] == min_i), jl, BIGI)
+                min_j = jnp.min(cj, axis=1, keepdims=True) + 1
+                zeros = jnp.zeros((TB, STATS_W - 3), jnp.float32)
+                stats_ref[0, :, :] = jnp.concatenate(
+                    [
+                        gmax,
+                        min_i.astype(jnp.float32),
+                        min_j.astype(jnp.float32),
+                        zeros,
+                    ],
+                    axis=1,
+                )
+        else:
+            stats_ref[0, :, :] = acc[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "og", "eg", "score_only", "interpret"),
+)
+def fill_tiled(
+    S,  # (G, NP, TB, MP) int8 or f32
+    n,  # (G, TB, 1) int32
+    m,  # (G, TB, 1) int32
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    score_only: bool = False,
+    interpret: bool = False,
+):
+    """Run the fill kernel over G tiles of TB pairs.
+
+    Returns ``(tb, stats)``; ``tb`` is ``(G, NP, TB, MP)`` uint8 (rows/cols
+    are 1-based DP coords minus 1; boundary row/col live in closed form in
+    the traceback walker).  ``stats`` is ``(G, TB, 8)`` f32:
+    ``[best, best_i, best_j, finalM, finalX, finalY, 0, 0]``.
+    """
+    G, NP, tb_, MP = S.shape
+    assert tb_ == TB
+    rb_rows = _row_block(NP, MP, S.dtype.itemsize)
+    n_row_blocks = NP // rb_rows
+    assert n_row_blocks * rb_rows == NP
+
+    kernel = functools.partial(
+        _kernel,
+        mode=mode,
+        og=og,
+        eg=eg,
+        rb_rows=rb_rows,
+        mp=MP,
+        n_row_blocks=n_row_blocks,
+        score_only=score_only,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, TB, 1), lambda ib, rb: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TB, 1), lambda ib, rb: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rb_rows, TB, MP), lambda ib, rb: (ib, rb, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    stats_shape = jax.ShapeDtypeStruct((G, TB, STATS_W), jnp.float32)
+    stats_spec = pl.BlockSpec((1, TB, STATS_W), lambda ib, rb: (ib, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((TB, MP), jnp.float32),  # cm
+        pltpu.VMEM((TB, MP), jnp.float32),  # cx
+        pltpu.VMEM((TB, MP), jnp.float32),  # cy
+        pltpu.VMEM((TB, MP), jnp.float32),  # runbest
+        pltpu.VMEM((TB, MP), jnp.int32),    # runbest_i
+        pltpu.VMEM((TB, STATS_W), jnp.float32),  # acc
+    ]
+    grid = (G, n_row_blocks)
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+    )
+    cost = pl.CostEstimate(
+        flops=int(G) * TB * int(NP) * int(MP) * 40,
+        bytes_accessed=int(S.size * S.dtype.itemsize) * 2,
+        transcendentals=0,
+    )
+
+    if score_only:
+        def kern(n_ref, m_ref, s_ref, stats_ref, *scr):
+            return kernel(n_ref, m_ref, s_ref, None, stats_ref, *scr)
+
+        stats = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_shape=stats_shape,
+            out_specs=stats_spec,
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(n, m, S)
+        return None, stats
+
+    tb_shape = jax.ShapeDtypeStruct((G, NP, TB, MP), jnp.uint8)
+    tb_spec = pl.BlockSpec((1, rb_rows, TB, MP), lambda ib, rb: (ib, rb, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tb, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_shape=(tb_shape, stats_shape),
+        out_specs=(tb_spec, stats_spec),
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(n, m, S)
+    return tb, stats
