@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark: DP cell-updates/s of the batched Pallas fill kernel.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against the driver-set north-star target of 100 GCUPS/chip (BASELINE.json).
+
+Timing is honest: iterations are chained through a data dependency so the
+async dispatch (and the axon tunnel's execution caching) cannot hide real
+device time.  Workload: 512 pairs of 512x512 protein DP with full traceback
+output, BLOSUM62, go=10/ge=0.5 — the reference suite's median-length regime.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from smithwaterman_tpu.config import LOCAL
+    from smithwaterman_tpu.matrices import SubstitutionMatrix
+    from smithwaterman_tpu.ops import batch, pallas_dp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        tile, B, NP, MP, ncall = 128, 512, 512, 512, 8
+    else:  # CPU smoke: tiny interpret-mode run so the script always works
+        tile, B, NP, MP, ncall = 8, 8, 128, 128, 1
+
+    sm = SubstitutionMatrix.blosum62()
+    rng = np.random.default_rng(0)
+    codes1 = rng.integers(0, 20, size=(B, NP)).astype(np.int32)
+    codes2 = rng.integers(0, 20, size=(B, MP)).astype(np.int32)
+    S0 = batch.scores_tiled(
+        jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile
+    )
+    G = B // tile
+    nt = jnp.full((G, tile, 1), NP, jnp.int32)
+    mt = jnp.full((G, tile, 1), MP, jnp.int32)
+
+    @jax.jit
+    def chain(S):
+        def body(S, _):
+            tb, stats = pallas_dp.fill_tiled(
+                S, nt, mt, mode=LOCAL, og=-10.0, eg=-0.5,
+                interpret=not on_tpu,
+            )
+            # serialize: next iteration's input depends on this one's output
+            bump = (stats[0, 0, 0] * 0.0).astype(jnp.int8)
+            return S + bump, stats[0, 0, 0]
+        S, scores = jax.lax.scan(body, S, None, length=ncall)
+        return scores
+
+    r = chain(S0)
+    jax.block_until_ready(r)  # compile + warm
+    t0 = time.time()
+    r = chain(S0)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / ncall
+
+    cells = B * NP * MP
+    gcups = cells / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "dp_cell_updates_per_chip",
+                "value": round(gcups, 2),
+                "unit": "GCUPS",
+                "vs_baseline": round(gcups / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ _enable_cache()
 
 from .config import GLOBAL, GLOCAL, LOCAL, AlignConfig
 from .aligner import Aligner, AlignResult
+from .batch_aligner import BatchAligner
 from .io.fasta import SeqData, load_fasta
 from .matrices import PositionSpecificMatrix, SubstitutionMatrix
 
@@ -26,6 +27,7 @@ __all__ = [
     "AlignConfig",
     "Aligner",
     "AlignResult",
+    "BatchAligner",
     "SeqData",
     "load_fasta",
     "SubstitutionMatrix",

@@ -50,6 +50,99 @@ def _as_seqdata(s) -> SeqData:
     return SeqData(name="", desc="", seq=str(s))
 
 
+def reconstruct_alignment(
+    seq1: str,
+    seq2: str,
+    idx1: Sequence[int],
+    idx2: Sequence[int],
+    score: float,
+    retain_all: bool,
+    mode: int,
+) -> AlignResult:
+    """String reconstruction + full-length terminal padding
+    (parity: sequence_alignment.rs:469-551)."""
+    a1: List[str] = []
+    a2: List[str] = []
+    start1 = start2 = -1
+    end1 = end2 = -1
+    for ii in idx1:
+        if ii > -1:
+            if start1 < 0:
+                start1 = ii
+            a1.append(seq1[ii])
+            end1 = ii
+        else:
+            a1.append("-")
+    for ii in idx2:
+        if ii > -1:
+            if start2 < 0:
+                start2 = ii
+            a2.append(seq2[ii])
+            end2 = ii
+        else:
+            a2.append("-")
+
+    if mode == LOCAL and not retain_all:
+        return AlignResult(
+            "".join(a1), "".join(a2), score, start1, end1, start2, end2
+        )
+    if mode != LOCAL and not retain_all:
+        import sys
+
+        sys.stderr.write("The glocal or global mode will retain all letters.\n")
+
+    if start1 < 0 or start2 < 0:
+        # nothing aligned: seq1 over gaps, then gaps over seq2 (rs:512-524)
+        r1 = list(seq1) + ["-"] * len(seq2)
+        r2 = ["-"] * len(seq1) + list(seq2)
+        return AlignResult("".join(r1), "".join(r2), score, -1, -1, -1, -1)
+
+    r1 = []
+    r2 = []
+    for ii in range(start1):
+        r1.append(seq1[ii])
+        r2.append("-")
+    for ii in range(start2):
+        r1.append("-")
+        r2.append(seq2[ii])
+    r1 += a1
+    r2 += a2
+    for ii in range(end1 + 1, len(seq1)):
+        r1.append(seq1[ii])
+        r2.append("-")
+    for ii in range(end2 + 1, len(seq2)):
+        r1.append("-")
+        r2.append(seq2[ii])
+    return AlignResult("".join(r1), "".join(r2), score, start1, end1, start2, end2)
+
+
+def degenerate_result(
+    seq1: str,
+    seq2: str,
+    mode: int,
+    og: float,
+    eg: float,
+    retain_all: bool,
+    score_only: bool,
+) -> AlignResult:
+    """Empty-sequence handling (boundary-only DP, computed in closed form)."""
+    n, m = len(seq1), len(seq2)
+    if mode == GLOBAL:
+        so, se = og, eg
+    else:
+        so, se = 0.0, 0.0
+    if mode == LOCAL:
+        score = 0.0
+    else:
+        k = max(n, m)
+        score = 0.0 if k == 0 else k * se + (so - se)
+    if score_only:
+        return AlignResult("", "", score)
+    if mode == LOCAL and not retain_all:
+        return AlignResult("", "", score)
+    return AlignResult(seq1 + "-" * m, "-" * n + seq2, score, -1, -1, -1, -1)
+
+
 class Aligner:
     """Three-mode affine-gap pairwise aligner.
 
@@ -145,98 +238,22 @@ class Aligner:
                 tb, n, m, int(res.final_state), False
             )
 
-        return self._reconstruct(s1, s2, p1, p2, idx1, idx2, maxscore, retain_all)
-
-    # ------------------------------------------------------------------
-    def _reconstruct(
-        self,
-        s1: SeqData,
-        s2: SeqData,
-        p1: Optional[int],
-        p2: Optional[int],
-        idx1: Sequence[int],
-        idx2: Sequence[int],
-        score: float,
-        retain_all: bool,
-    ) -> AlignResult:
-        """String reconstruction + full-length terminal padding
-        (parity: sequence_alignment.rs:469-551)."""
         seq1 = s1.seq if p1 is None else s1.seq[:p1]
         seq2 = s2.seq if p2 is None else s2.seq[:p2]
-
-        a1: List[str] = []
-        a2: List[str] = []
-        start1 = start2 = -1
-        end1 = end2 = -1
-        for ii in idx1:
-            if ii > -1:
-                if start1 < 0:
-                    start1 = ii
-                a1.append(seq1[ii])
-                end1 = ii
-            else:
-                a1.append("-")
-        for ii in idx2:
-            if ii > -1:
-                if start2 < 0:
-                    start2 = ii
-                a2.append(seq2[ii])
-                end2 = ii
-            else:
-                a2.append("-")
-
-        if self.mode == LOCAL and not retain_all:
-            return AlignResult(
-                "".join(a1), "".join(a2), score, start1, end1, start2, end2
-            )
-        if self.mode != LOCAL and not retain_all:
-            import sys
-
-            sys.stderr.write("The glocal or global mode will retain all letters.\n")
-
-        if start1 < 0 or start2 < 0:
-            # nothing aligned: seq1 over gaps, then gaps over seq2 (rs:512-524)
-            r1 = list(seq1) + ["-"] * len(seq2)
-            r2 = ["-"] * len(seq1) + list(seq2)
-            return AlignResult("".join(r1), "".join(r2), score, -1, -1, -1, -1)
-
-        r1 = []
-        r2 = []
-        for ii in range(start1):
-            r1.append(seq1[ii])
-            r2.append("-")
-        for ii in range(start2):
-            r1.append("-")
-            r2.append(seq2[ii])
-        r1 += a1
-        r2 += a2
-        for ii in range(end1 + 1, len(seq1)):
-            r1.append(seq1[ii])
-            r2.append("-")
-        for ii in range(end2 + 1, len(seq2)):
-            r1.append("-")
-            r2.append(seq2[ii])
-        return AlignResult("".join(r1), "".join(r2), score, start1, end1, start2, end2)
+        return reconstruct_alignment(
+            seq1, seq2, idx1, idx2, maxscore, retain_all, self.mode
+        )
 
     # ------------------------------------------------------------------
     def _degenerate(
         self, s1: SeqData, s2: SeqData, n: int, m: int, retain_all: bool, score_only: bool
     ) -> AlignResult:
-        """Empty-sequence handling (boundary-only DP, computed in closed form)."""
-        og, eg = self.config.og, self.config.eg
-        if self.mode == GLOBAL:
-            so, se = og, eg
-        else:
-            so, se = 0.0, 0.0
-        if self.mode == LOCAL:
-            score = 0.0
-        else:
-            k = max(n, m)
-            score = 0.0 if k == 0 else k * se + (so - se)
-        if score_only:
-            return AlignResult("", "", score)
-        if self.mode == LOCAL and not retain_all:
-            return AlignResult("", "", score)
-        r1 = s1.seq + "-" * m
-        r2 = "-" * n + s2.seq
-        return AlignResult(r1, r2, score, -1, -1, -1, -1)
+        return degenerate_result(
+            s1.seq[:n] if n < len(s1.seq) else s1.seq,
+            s2.seq[:m] if m < len(s2.seq) else s2.seq,
+            self.mode,
+            self.config.og,
+            self.config.eg,
+            retain_all,
+            score_only,
+        )

@@ -1,0 +1,223 @@
+"""BatchAligner: bucketed many-pair alignment on TPU.
+
+The TPU-native replacement for the reference's host pair loops
+(/root/reference/rust/sequence_alignment/src/main.rs:35-44,
+/root/reference/rust/sa_opencl/src/main.rs:298-315): pairs are grouped into
+(npad, mpad) length buckets (so XLA compiles a handful of static programs),
+padded into TB-pair tiles, filled on device in one fused program per bucket,
+and walked/reconstructed on host.  Results come back in input order and are
+bit-identical to the single-pair ``Aligner``.
+
+Backends:
+  * ``pallas``            — the Pallas TPU kernel (default on TPU)
+  * ``pallas_interpret``  — same kernel, interpreter mode (CPU tests)
+  * ``scan``              — vmapped lax.scan path (any backend; default off-TPU)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .aligner import (
+    AlignResult,
+    _as_seqdata,
+    degenerate_result,
+    reconstruct_alignment,
+)
+from .config import LOCAL, AlignConfig, CELL_MATCH, bucket_len
+from .matrices import ScoringMatrix, SubstitutionMatrix
+from .ops import batch as batch_ops
+from .ops import traceback
+
+
+
+def default_backend() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
+@dataclass
+class _Bucket:
+    np_pad: int
+    mp_pad: int
+    indices: List[int]          # positions in the caller's pair list
+    codes1: List[np.ndarray]
+    codes2: List[np.ndarray]
+
+
+class BatchAligner:
+    def __init__(
+        self,
+        scoring_matrix: Optional[ScoringMatrix] = None,
+        gap_open: float = 10.0,
+        gap_extend: float = 0.5,
+        mode: int = LOCAL,
+        config: Optional[AlignConfig] = None,
+        backend: Optional[str] = None,
+        device_axis=None,
+        tile_pairs: Optional[int] = None,
+    ):
+        if config is None:
+            config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
+        self.config = config
+        self.scoring_matrix = scoring_matrix or SubstitutionMatrix.blosum62()
+        self.backend = backend or default_backend()
+        self.device_axis = device_axis  # parallel.DataParallel or None
+        self.tile_pairs = tile_pairs
+        self._table_is_int = batch_ops.is_integer_table(
+            np.asarray(self.scoring_matrix.table, np.float32)
+        ) if hasattr(self.scoring_matrix, "table") else False
+
+    @property
+    def mode(self) -> int:
+        return self.config.mode
+
+    # ------------------------------------------------------------------
+    def align_pairs(
+        self, pairs: Sequence[Tuple], retain_all: bool = True
+    ) -> List[AlignResult]:
+        return self._run(pairs, retain_all=retain_all, score_only=False)
+
+    def score_pairs(self, pairs: Sequence[Tuple]) -> np.ndarray:
+        res = self._run(pairs, retain_all=True, score_only=True)
+        return np.asarray([r.score for r in res], dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    def _run(
+        self, pairs: Sequence[Tuple], retain_all: bool, score_only: bool
+    ) -> List[AlignResult]:
+        sm = self.scoring_matrix
+        og, eg = self.config.og, self.config.eg
+        results: List[Optional[AlignResult]] = [None] * len(pairs)
+        seqs: List[Tuple] = []
+        buckets: Dict[Tuple[int, int], _Bucket] = {}
+
+        for idx, (a, b) in enumerate(pairs):
+            s1, s2 = _as_seqdata(a), _as_seqdata(b)
+            seqs.append((s1, s2))
+            c1 = sm.seq_to_index(s1.seq)
+            c2 = sm.seq_to_index(s2.seq)
+            if len(c1) == 0 or len(c2) == 0:
+                results[idx] = degenerate_result(
+                    s1.seq, s2.seq, self.mode, og, eg, retain_all, score_only
+                )
+                continue
+            key = (
+                bucket_len(len(c1), self.config.buckets),
+                bucket_len(len(c2), self.config.buckets),
+            )
+            bk = buckets.get(key)
+            if bk is None:
+                bk = buckets[key] = _Bucket(key[0], key[1], [], [], [])
+            bk.indices.append(idx)
+            bk.codes1.append(c1)
+            bk.codes2.append(c2)
+
+        for bk in buckets.values():
+            self._run_bucket(bk, seqs, results, retain_all, score_only)
+        return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def _bucket_tile(self, count: int, mp_pad: int) -> int:
+        if self.tile_pairs is not None:
+            return self.tile_pairs
+        from .ops.pallas_dp import choose_tile
+
+        return choose_tile(count, mp_pad)
+
+    def _run_bucket(self, bk, seqs, results, retain_all, score_only):
+        og, eg = self.config.og, self.config.eg
+        count = len(bk.indices)
+        tile = self._bucket_tile(count, bk.mp_pad)
+        step = tile * (self.device_axis.n_devices if self.device_axis else 1)
+        B = -(-count // step) * step
+        NP, MP = bk.np_pad, bk.mp_pad
+        codes1 = np.zeros((B, NP), np.int32)
+        codes2 = np.zeros((B, MP), np.int32)
+        n = np.ones(B, np.int32)
+        m = np.ones(B, np.int32)
+        for k in range(count):
+            c1, c2 = bk.codes1[k], bk.codes2[k]
+            codes1[k, : len(c1)] = c1
+            codes2[k, : len(c2)] = c2
+            n[k] = len(c1)
+            m[k] = len(c2)
+
+        if self.backend in ("pallas", "pallas_interpret"):
+            tb_t, stats = self._fill_pallas(codes1, codes2, n, m, score_only, tile)
+            get_tb = lambda k: batch_ops.tb_pair_view(tb_t, k)
+            walk = traceback.walk_tiled
+        else:
+            tb_t, stats = self._fill_scan(codes1, codes2, n, m, score_only)
+            get_tb = lambda k: tb_t[k]
+            walk = traceback.walk
+
+        for k in range(count):
+            idx = bk.indices[k]
+            s1, s2 = seqs[idx]
+            nb, mb = int(n[k]), int(m[k])
+            best, best_i, best_j = stats[k, 0], int(stats[k, 1]), int(stats[k, 2])
+            if self.mode == LOCAL:
+                score = float(best) if best > 0.0 else 0.0
+            else:
+                fin = stats[k, 3:6]
+                state = int(np.argmax(fin))
+                score = float(fin[state])
+            if score_only:
+                results[idx] = AlignResult("", "", score)
+                continue
+            if self.mode == LOCAL:
+                if best <= 0.0:
+                    idx1: List[int] = []
+                    idx2: List[int] = []
+                else:
+                    idx1, idx2 = walk(get_tb(k), best_i, best_j, CELL_MATCH, True)
+            else:
+                idx1, idx2 = walk(get_tb(k), nb, mb, state, False)
+            results[idx] = reconstruct_alignment(
+                s1.seq, s2.seq, idx1, idx2, score, retain_all, self.mode
+            )
+
+    # ------------------------------------------------------------------
+    def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
+        table = np.asarray(self.scoring_matrix.table, np.float32)
+        S = batch_ops.scores_tiled(
+            jax.numpy.asarray(table),
+            codes1,
+            codes2,
+            as_int8=self._table_is_int,
+            tile=tile,
+        )
+        run = batch_ops.fill_pallas
+        if self.device_axis is not None:
+            run = self.device_axis.fill_pallas
+        return run(
+            S,
+            n,
+            m,
+            mode=self.mode,
+            og=self.config.og,
+            eg=self.config.eg,
+            score_only=score_only,
+            interpret=self.backend == "pallas_interpret",
+        )
+
+    def _fill_scan(self, codes1, codes2, n, m, score_only):
+        """vmapped scan fallback; returns (tb (B, NP+1, MP+1), stats (B, 8))."""
+        table = np.asarray(self.scoring_matrix.table, np.float32)
+        B = codes1.shape[0]
+        S = table[codes1[:, :, None], codes2[:, None, :]].astype(np.float32)
+        res = batch_ops.fill_scan(
+            S, n, m, mode=self.mode, og=self.config.og, eg=self.config.eg,
+            score_only=score_only,
+        )
+        stats = np.zeros((B, 8), np.float32)
+        stats[:, 0] = np.asarray(res.best)
+        stats[:, 1] = np.asarray(res.best_i)
+        stats[:, 2] = np.asarray(res.best_j)
+        stats[:, 3:6] = np.asarray(res.final)
+        tb = np.asarray(res.tb) if not score_only else None
+        return tb, stats

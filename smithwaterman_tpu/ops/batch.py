@@ -1,0 +1,141 @@
+"""Batched device pipeline: substitution-score precompute + tiled DP fill.
+
+The reference aligns pairs one at a time in a host loop
+(/root/reference/rust/sequence_alignment/src/main.rs:35-44); the TPU-native
+pipeline instead pads pairs into (npad, mpad) length buckets and runs
+``TB``-pair tiles through one fused device program:
+
+  1. ``scores_tiled``: dense substitution scores for every pair.  For
+     integer tables (BLOSUM62, match/mismatch — the common case) this is a
+     one-hot matmul on the MXU emitting int8, i.e. 1 byte/cell of HBM; for
+     arbitrary float tables it is an exact gather emitting f32.
+  2. ``ops.pallas_dp.fill_tiled``: the Pallas fill kernel (VPU).
+  3. Host traceback per pair (``ops.traceback.walk_tiled``).
+
+A vmapped ``ops.scan_dp.fill`` provides the same contract on any backend
+(CPU tests, correctness cross-checks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pallas_dp, scan_dp
+from .pallas_dp import DEFAULT_TILE_PAIRS, TB
+
+
+def is_integer_table(table: np.ndarray) -> bool:
+    return bool(
+        np.all(table == np.round(table))
+        and np.all(np.abs(table) <= 127)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("as_int8", "tile"))
+def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TILE_PAIRS):
+    """Dense substitution scores, tiled for the fill kernel.
+
+    Args:
+      table: (K, K) f32 scoring table.
+      codes1: (B, NP) int32 symbol codes (padded with 0).
+      codes2: (B, MP) int32.
+      tile: pairs per kernel tile (B must be a multiple).
+    Returns:
+      (G, NP, tile, MP) int8 (as_int8) or f32, G = B // tile.
+    """
+    B, NP = codes1.shape
+    MP = codes2.shape[1]
+    K = table.shape[0]
+    prof = jnp.take(table, codes1, axis=0)  # (B, NP, K)
+    if as_int8:
+        # one-hot matmul on the MXU; exact for integer tables (|v| <= 127:
+        # both bf16 products and f32 accumulation are exact).
+        oh2 = jax.nn.one_hot(codes2, K, dtype=jnp.float32)  # (B, MP, K)
+        S = jnp.einsum(
+            "bik,bjk->bij", prof, oh2, preferred_element_type=jnp.float32
+        )
+        S = S.astype(jnp.int8)
+    else:
+        # exact gather path for arbitrary float tables
+        idx = jnp.broadcast_to(codes2[:, None, :], (B, NP, MP))
+        S = jnp.take_along_axis(prof, idx, axis=2)
+    G = B // tile
+    S = S.reshape(G, tile, NP, MP).transpose(0, 2, 1, 3)
+    return S
+
+
+def dense_to_tiled(S_dense, tile: int = DEFAULT_TILE_PAIRS):
+    """(B, NP, MP) dense scores -> (G, NP, tile, MP) kernel layout."""
+    B, NP, MP = S_dense.shape
+    G = B // tile
+    return S_dense.reshape(G, tile, NP, MP).transpose(0, 2, 1, 3)
+
+
+def fill_pallas(
+    S_tiled,
+    n: np.ndarray,
+    m: np.ndarray,
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    score_only: bool = False,
+    interpret: bool = False,
+) -> Tuple[Optional[np.ndarray], np.ndarray]:
+    """Run the Pallas kernel; returns host arrays (tb_tiled, stats (B, 8))."""
+    G, _, tile, _ = S_tiled.shape
+    nt = jnp.asarray(np.asarray(n).reshape(G, tile, 1), jnp.int32)
+    mt = jnp.asarray(np.asarray(m).reshape(G, tile, 1), jnp.int32)
+    tb, stats = pallas_dp.fill_tiled(
+        S_tiled,
+        nt,
+        mt,
+        mode=mode,
+        og=float(og),
+        eg=float(eg),
+        score_only=score_only,
+        interpret=interpret,
+    )
+    stats_np = np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)
+    tb_np = np.asarray(tb) if tb is not None else None
+    return tb_np, stats_np
+
+
+_scan_batch = jax.jit(
+    jax.vmap(scan_dp.fill, in_axes=(0, 0, 0, None, None, None, None)),
+    static_argnums=(5, 6),
+)
+
+
+def fill_scan(
+    S_dense,
+    n: np.ndarray,
+    m: np.ndarray,
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    score_only: bool = False,
+):
+    """vmapped lax.scan fallback; returns (FillResult-of-arrays)."""
+    return _scan_batch(
+        jnp.asarray(S_dense),
+        jnp.asarray(n, jnp.int32),
+        jnp.asarray(m, jnp.int32),
+        jnp.float32(og),
+        jnp.float32(eg),
+        mode,
+        not score_only,
+    )
+
+
+def tb_pair_view(tb_tiled: np.ndarray, pair_idx: int) -> np.ndarray:
+    """(NP, MP) interior-pointer view of one pair from the tiled tb array."""
+    tile = tb_tiled.shape[2]
+    g, t = divmod(pair_idx, tile)
+    return tb_tiled[g, :, t, :]

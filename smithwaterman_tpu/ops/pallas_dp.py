@@ -6,8 +6,11 @@ Where the reference parallelizes *within* one DP matrix (one work-item per
 column, spin-waiting on neighbor flags), this kernel parallelizes *across*
 pairs and vectorizes *within* each row:
 
-  * A grid step owns a tile of ``TB = 8`` pairs, laid out on the VPU's 8
-    sublanes; the j axis (columns, length ``MP``) rides the 128-lane axis.
+  * A grid step owns a tile of ``TBP`` pairs (a multiple of the 8 VPU
+    sublanes; default 32), laid out on the sublane axis; the j axis
+    (columns, length ``MP``) rides the 128-lane axis.  Wide tiles matter:
+    the row loop is a serial dependence chain, so per-op width is what
+    hides VPU instruction latency.
   * Rows are filled sequentially (the true data dependence).  The only
     intra-row dependence — the gap-in-seq1 state ``X[j] = max(G[j-1],
     X[j-1]+pe)`` — is a max-plus prefix scan, computed with a
@@ -31,8 +34,8 @@ Cell semantics are bit-identical to ``ops/scan_dp.fill`` (which is itself
 validated string-exact against all 300 EMBOSS golden fixtures); equivalence
 is enforced by tests/test_pallas_kernel.py.
 
-Layout: callers pass S (and receive tb) as ``(G, NP, TB, MP)`` where
-``B = G*TB`` pairs — each row slab ``(TB, MP)`` is then a native
+Layout: callers pass S (and receive tb) as ``(G, NP, TBP, MP)`` where
+``B = G*TBP`` pairs — each row slab ``(TBP, MP)`` is then a native
 (sublane, lane) tile, so the row loop never re-lays-out data.
 """
 
@@ -47,20 +50,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
-TB = 8  # pairs per grid step = VPU sublane count
+TB = 8   # minimum tile granularity (VPU sublane count)
+DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
-BIGI = jnp.int32(2**30)
+BIGI = 2**30  # "unset" argmax sentinel (python int: kernels must not capture tracers)
 
 # stats lane layout (per pair): [best, best_i, best_j, finalM, finalX, finalY, 0, 0]
 STATS_W = 8
 
 
-def _row_block(np_pad: int, mp_pad: int, itemsize: int) -> int:
+def _row_block(np_pad: int, mp_pad: int, tbp: int, itemsize: int) -> int:
     """Rows per S/tb block so a block stays ~<=1 MiB (double-buffered DMA)."""
     budget = 1 << 20
-    rb = max(8, budget // max(1, TB * mp_pad * itemsize))
+    rb = max(8, budget // max(1, tbp * mp_pad * itemsize))
     rb = 1 << (rb.bit_length() - 1)  # floor to power of two
     return min(rb, np_pad)
+
+
+def choose_tile(count: int, mp_pad: int) -> int:
+    """Pairs per tile: as wide as VMEM allows (wide tiles hide the row
+    loop's VPU latency chain), no wider than the batch needs."""
+    vmax = 8
+    for t in (16, 32, 64, 128):
+        # 5 f32 scratch rows per pair + headroom for S/tb blocks
+        if t * mp_pad * 4 * 5 <= (8 << 20):
+            vmax = t
+    need = -(-max(count, 1) // 8) * 8  # batch rounded up to sublane multiple
+    tile = 8
+    while tile < need and tile < vmax:
+        tile *= 2
+    return tile
 
 
 def _shift_right(v, fill):
@@ -80,19 +99,20 @@ def _cummax_lanes(v, width: int):
 
 
 def _kernel(
-    n_ref,      # (1, TB, 1) i32 VMEM
-    m_ref,      # (1, TB, 1) i32 VMEM
-    s_ref,      # (1, RB, TB, MP) int8/f32 VMEM
-    tb_ref,     # (1, RB, TB, MP) uint8 VMEM (absent when score_only)
-    stats_ref,  # (1, TB, STATS_W) f32 VMEM
-    cm, cx, cy,           # (TB, MP) f32 scratch: row carries
-    runbest, runbest_i,   # (TB, MP) f32 / i32 scratch (local argmax)
-    acc,                  # (TB, STATS_W) f32 scratch (final-cell capture)
+    n_ref,      # (1, TBP, 1) i32 VMEM
+    m_ref,      # (1, TBP, 1) i32 VMEM
+    s_ref,      # (1, RB, TBP, MP) int8/f32 VMEM
+    tb_ref,     # (1, RB, TBP, MP) uint8 VMEM (absent when score_only)
+    stats_ref,  # (1, TBP, STATS_W) f32 VMEM
+    cm, cx, cy,           # (TBP, MP) f32 scratch: row carries
+    runbest, runbest_i,   # (TBP, MP) f32 / i32 scratch (local argmax)
+    acc,                  # (TBP, STATS_W) f32 scratch (final-cell capture)
     *,
     mode: int,
     og: float,
     eg: float,
     rb_rows: int,
+    tbp: int,
     mp: int,
     n_row_blocks: int,
     score_only: bool,
@@ -104,9 +124,9 @@ def _kernel(
         so, se = 0.0, 0.0
     sent = 10.0 * og + 10.0 * eg
 
-    nvec = n_ref[0, :, :]            # (TB, 1)
-    mvec = m_ref[0, :, :]            # (TB, 1)
-    jl = jax.lax.broadcasted_iota(jnp.int32, (TB, mp), 1)  # lane l <-> j = l+1
+    nvec = n_ref[0, :, :]            # (TBP, 1)
+    mvec = m_ref[0, :, :]            # (TBP, 1)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (tbp, mp), 1)  # lane l <-> j = l+1
     jf1 = (jl + 1).astype(jnp.float32)
     lanef = jl.astype(jnp.float32)
 
@@ -128,13 +148,12 @@ def _kernel(
         cm[:, :] = lsc + sent
         cx[:, :] = lsc
         cy[:, :] = lsc + sent
-        if mode == LOCAL and not score_only:
-            runbest[:, :] = jnp.full((TB, mp), NEG, jnp.float32)
-            runbest_i[:, :] = jnp.full((TB, mp), BIGI, jnp.int32)
-        if mode == LOCAL and score_only:
-            runbest[:, :] = jnp.full((TB, mp), NEG, jnp.float32)
-        if mode != LOCAL:
-            acc[:, :] = jnp.zeros((TB, STATS_W), jnp.float32)
+        if mode == LOCAL:
+            runbest[:, :] = jnp.full((tbp, mp), NEG, jnp.float32)
+            if not score_only:
+                runbest_i[:, :] = jnp.full((tbp, mp), BIGI, jnp.int32)
+        else:
+            acc[:, :] = jnp.zeros((tbp, STATS_W), jnp.float32)
 
     def row_step(r, _):
         i = rb * rb_rows + r + 1  # 1-based global row
@@ -146,10 +165,12 @@ def _kernel(
         # boundary values at (i-1, 0) / (i, 0) (rs:88-93,109-117)
         lsc_im1 = (fi - 1.0) * se + (so - se)
         lsc_i = fi * se + (so - se)
+        # (0,0) is (0,-1,-1); (i-1>=1, 0) is (sent'd, sent'd, lsc) — the gap
+        # chain down column 0 lives in the Y state (rs:109-117)
         at_first = i == 1
         fill_m = jnp.where(at_first, 0.0, lsc_im1 + sent)
-        fill_x = jnp.where(at_first, -1.0, lsc_im1)
-        fill_y = jnp.where(at_first, -1.0, lsc_im1 + sent)
+        fill_x = jnp.where(at_first, -1.0, lsc_im1 + sent)
+        fill_y = jnp.where(at_first, -1.0, lsc_im1)
 
         # ---- M: from (i-1, j-1); tie order M >= X >= Y (rs:139-158)
         Mp1 = _shift_right(Mp, fill_m)
@@ -191,7 +212,7 @@ def _kernel(
         # ---- X: gap in seq1, from (i, j-1) — max-plus prefix scan
         if mode == GLOCAL:
             # free gaps along the last row of seq1 (rs:166-167), per pair
-            last_row = i == nvec  # (TB, 1)
+            last_row = i == nvec  # (TBP, 1)
             po = jnp.where(last_row, so, og)
             pe = jnp.where(last_row, se, eg)
         else:
@@ -201,9 +222,9 @@ def _kernel(
         gline = jnp.maximum(val_m, val_y) + po
         hraw = _shift_right(gline, g0)
         h = hraw - lanef * pe
-        h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (TB, 1)),
+        h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp, 1)),
                          x0b + pe)
-        h = jnp.where(jl == 0, jnp.broadcast_to(h0, (TB, mp)), h)
+        h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp, mp)), h)
         c = _cummax_lanes(h, mp)
         val_x = c + lanef * pe
         if mode == LOCAL:
@@ -229,11 +250,10 @@ def _kernel(
                 prev_x = jnp.where(val_x == 0.0, CELL_STOP, prev_x)
                 prev_y = jnp.where(val_y == 0.0, CELL_STOP, prev_y)
 
+            # pack in int32 (Mosaic has no sub-word shifts), then narrow
             tb_ref[0, r, :, :] = (
-                prev_m.astype(jnp.uint8)
-                | (prev_x.astype(jnp.uint8) << 2)
-                | (prev_y.astype(jnp.uint8) << 4)
-            )
+                prev_m | (prev_x << 2) | (prev_y << 4)
+            ).astype(jnp.uint8)
 
         # ---- running best (local): strict `>` keeps the first (smallest) i
         if mode == LOCAL:
@@ -247,12 +267,12 @@ def _kernel(
                 runbest_i[:, :] = jnp.where(upd, i, runbest_i[:, :])
         else:
             # capture (M, X, Y) at (n, m) the row each pair's n is reached
-            take = (i == nvec) & (jl + 1 == mvec)  # (TB, MP)
-            zero = jnp.zeros((TB, 1), jnp.float32)
+            take = (i == nvec) & (jl + 1 == mvec)  # (TBP, MP)
+            zero = jnp.zeros((tbp, 1), jnp.float32)
             fm = jnp.sum(jnp.where(take, val_m, 0.0), axis=1, keepdims=True)
             fx = jnp.sum(jnp.where(take, val_x, 0.0), axis=1, keepdims=True)
             fy = jnp.sum(jnp.where(take, val_y, 0.0), axis=1, keepdims=True)
-            pad = jnp.zeros((TB, STATS_W - 6), jnp.float32)
+            pad = jnp.zeros((tbp, STATS_W - 6), jnp.float32)
             acc[:, :] = acc[:, :] + jnp.concatenate(
                 [zero, zero, zero, fm, fx, fy, pad], axis=1
             )
@@ -267,9 +287,9 @@ def _kernel(
     @pl.when(rb == n_row_blocks - 1)
     def _finish():
         if mode == LOCAL:
-            gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)  # (TB, 1)
+            gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)  # (TBP, 1)
             if score_only:
-                zeros = jnp.zeros((TB, STATS_W - 1), jnp.float32)
+                zeros = jnp.zeros((tbp, STATS_W - 1), jnp.float32)
                 stats_ref[0, :, :] = jnp.concatenate([gmax, zeros], axis=1)
             else:
                 cand = runbest[:, :] == gmax
@@ -277,7 +297,7 @@ def _kernel(
                 min_i = jnp.min(ci, axis=1, keepdims=True)
                 cj = jnp.where(cand & (runbest_i[:, :] == min_i), jl, BIGI)
                 min_j = jnp.min(cj, axis=1, keepdims=True) + 1
-                zeros = jnp.zeros((TB, STATS_W - 3), jnp.float32)
+                zeros = jnp.zeros((tbp, STATS_W - 3), jnp.float32)
                 stats_ref[0, :, :] = jnp.concatenate(
                     [
                         gmax,
@@ -296,9 +316,9 @@ def _kernel(
     static_argnames=("mode", "og", "eg", "score_only", "interpret"),
 )
 def fill_tiled(
-    S,  # (G, NP, TB, MP) int8 or f32
-    n,  # (G, TB, 1) int32
-    m,  # (G, TB, 1) int32
+    S,  # (G, NP, TBP, MP) int8 or f32
+    n,  # (G, TBP, 1) int32
+    m,  # (G, TBP, 1) int32
     *,
     mode: int,
     og: float,
@@ -306,16 +326,16 @@ def fill_tiled(
     score_only: bool = False,
     interpret: bool = False,
 ):
-    """Run the fill kernel over G tiles of TB pairs.
+    """Run the fill kernel over G tiles of TBP pairs.
 
-    Returns ``(tb, stats)``; ``tb`` is ``(G, NP, TB, MP)`` uint8 (rows/cols
+    Returns ``(tb, stats)``; ``tb`` is ``(G, NP, TBP, MP)`` uint8 (rows/cols
     are 1-based DP coords minus 1; boundary row/col live in closed form in
-    the traceback walker).  ``stats`` is ``(G, TB, 8)`` f32:
+    the traceback walker).  ``stats`` is ``(G, TBP, 8)`` f32:
     ``[best, best_i, best_j, finalM, finalX, finalY, 0, 0]``.
     """
-    G, NP, tb_, MP = S.shape
-    assert tb_ == TB
-    rb_rows = _row_block(NP, MP, S.dtype.itemsize)
+    G, NP, tbp, MP = S.shape
+    assert tbp % TB == 0, f"pair-tile {tbp} must be a multiple of {TB}"
+    rb_rows = _row_block(NP, MP, tbp, S.dtype.itemsize)
     n_row_blocks = NP // rb_rows
     assert n_row_blocks * rb_rows == NP
 
@@ -325,36 +345,37 @@ def fill_tiled(
         og=og,
         eg=eg,
         rb_rows=rb_rows,
+        tbp=tbp,
         mp=MP,
         n_row_blocks=n_row_blocks,
         score_only=score_only,
     )
 
     in_specs = [
-        pl.BlockSpec((1, TB, 1), lambda ib, rb: (ib, 0, 0),
+        pl.BlockSpec((1, tbp, 1), lambda ib, rb: (ib, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TB, 1), lambda ib, rb: (ib, 0, 0),
+        pl.BlockSpec((1, tbp, 1), lambda ib, rb: (ib, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rb_rows, TB, MP), lambda ib, rb: (ib, rb, 0, 0),
+        pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    stats_shape = jax.ShapeDtypeStruct((G, TB, STATS_W), jnp.float32)
-    stats_spec = pl.BlockSpec((1, TB, STATS_W), lambda ib, rb: (ib, 0, 0),
+    stats_shape = jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32)
+    stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda ib, rb: (ib, 0, 0),
                               memory_space=pltpu.VMEM)
     scratch = [
-        pltpu.VMEM((TB, MP), jnp.float32),  # cm
-        pltpu.VMEM((TB, MP), jnp.float32),  # cx
-        pltpu.VMEM((TB, MP), jnp.float32),  # cy
-        pltpu.VMEM((TB, MP), jnp.float32),  # runbest
-        pltpu.VMEM((TB, MP), jnp.int32),    # runbest_i
-        pltpu.VMEM((TB, STATS_W), jnp.float32),  # acc
+        pltpu.VMEM((tbp, MP), jnp.float32),  # cm
+        pltpu.VMEM((tbp, MP), jnp.float32),  # cx
+        pltpu.VMEM((tbp, MP), jnp.float32),  # cy
+        pltpu.VMEM((tbp, MP), jnp.float32),  # runbest
+        pltpu.VMEM((tbp, MP), jnp.int32),    # runbest_i
+        pltpu.VMEM((tbp, STATS_W), jnp.float32),  # acc
     ]
     grid = (G, n_row_blocks)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
     )
     cost = pl.CostEstimate(
-        flops=int(G) * TB * int(NP) * int(MP) * 40,
+        flops=int(G) * tbp * int(NP) * int(MP) * 40,
         bytes_accessed=int(S.size * S.dtype.itemsize) * 2,
         transcendentals=0,
     )
@@ -376,8 +397,8 @@ def fill_tiled(
         )(n, m, S)
         return None, stats
 
-    tb_shape = jax.ShapeDtypeStruct((G, NP, TB, MP), jnp.uint8)
-    tb_spec = pl.BlockSpec((1, rb_rows, TB, MP), lambda ib, rb: (ib, rb, 0, 0),
+    tb_shape = jax.ShapeDtypeStruct((G, NP, tbp, MP), jnp.uint8)
+    tb_spec = pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
                            memory_space=pltpu.VMEM)
     tb, stats = pl.pallas_call(
         kernel,

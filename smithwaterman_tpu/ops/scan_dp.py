@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
-NEG = jnp.float32(-3.0e38)
+# python float (not jnp): keep module import free of backend initialization
+NEG = -3.0e38
 
 
 class FillResult(NamedTuple):

@@ -114,3 +114,78 @@ def walk(
     r1.reverse()
     r2.reverse()
     return r1, r2
+
+
+def _boundary_prev(i: int, j: int, s: int, local: bool) -> int:
+    """Closed-form predecessor pointers on the DP boundary (row 0 / col 0).
+
+    The tiled kernel (ops/pallas_dp.py) stores pointers only for interior
+    cells (i,j >= 1); boundary pointers are a pure function of mode
+    (parity: scan_dp._row0 / row_step's j==0 branch, i.e.
+    sequence_alignment.rs:88-117):
+      * origin: all states point to M; local marks M as STOP (score 0).
+      * row 0, j>0: all states point left (X); local X is STOP (score 0).
+      * col 0, i>0: all states point up (Y); local Y is STOP (score 0).
+    """
+    if i == 0 and j == 0:
+        return CELL_STOP if (local and s == CELL_MATCH) else CELL_MATCH
+    if i == 0:
+        return CELL_STOP if (local and s == CELL_GAPINX) else CELL_GAPINX
+    return CELL_STOP if (local and s == CELL_GAPINY) else CELL_GAPINY
+
+
+def walk_tiled(
+    tb: np.ndarray, si: int, sj: int, state: int, local: bool
+) -> Tuple[List[int], List[int]]:
+    """Like :func:`walk`, but over the tiled kernel's interior-only pointer
+    array: ``tb[i-1, j-1]`` holds the packed pointers of DP cell (i, j)."""
+    lib = _load_native()
+    if lib is not None and hasattr(lib, "sw_traceback_tiled") and tb.strides[1] == 1:
+        cap = int(si + sj + 2)
+        o1 = np.empty(cap, dtype=np.int64)
+        o2 = np.empty(cap, dtype=np.int64)
+        count = lib.sw_traceback_tiled(
+            tb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            tb.strides[0],
+            si,
+            sj,
+            state,
+            1 if local else 0,
+            o1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            o2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if count >= 0:
+            return o1[:count][::-1].tolist(), o2[:count][::-1].tolist()
+
+    r1: List[int] = []
+    r2: List[int] = []
+    i, j, s = int(si), int(sj), int(state)
+    while True:
+        if i >= 1 and j >= 1:
+            prev = (int(tb[i - 1, j - 1]) >> (2 * s)) & 3
+        else:
+            prev = _boundary_prev(i, j, s, local)
+        if local and prev == CELL_STOP:
+            break
+        if s == CELL_MATCH:
+            r1.append(i - 1)
+            r2.append(j - 1)
+            i -= 1
+            j -= 1
+        elif s == CELL_GAPINX:
+            r1.append(-1)
+            r2.append(j - 1)
+            j -= 1
+        elif s == CELL_GAPINY:
+            r1.append(i - 1)
+            r2.append(-1)
+            i -= 1
+        else:  # pragma: no cover - corrupt pointer
+            raise RuntimeError(f"invalid traceback state {s} at ({i},{j})")
+        if i == 0 and j == 0:
+            break
+        s = prev
+    r1.reverse()
+    r2.reverse()
+    return r1, r2

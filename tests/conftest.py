@@ -4,7 +4,8 @@ logic is exercised without TPU hardware (SURVEY.md §4)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the environment presets a TPU platform (JAX_PLATFORMS=axon)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("SWT_NO_COMPILE_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

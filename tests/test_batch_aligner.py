@@ -1,0 +1,126 @@
+"""BatchAligner end-to-end: bucketed batches must be bit-identical to the
+single-pair Aligner (and therefore to the EMBOSS goldens), on both the scan
+backend and the Pallas kernel (interpret mode on CPU), and under an 8-device
+sharded mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from smithwaterman_tpu import (
+    GLOBAL,
+    GLOCAL,
+    LOCAL,
+    Aligner,
+    BatchAligner,
+    SubstitutionMatrix,
+    load_fasta,
+)
+from smithwaterman_tpu.parallel import DataParallel, make_mesh
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "parity_cases.json")
+with open(DATA) as f:
+    CASES = json.load(f)
+
+REF_INPUTS = "/root/reference/test/inputs"
+
+
+def _suite_pairs(k=10):
+    pairs = []
+    for i in range(k):
+        f1 = os.path.join(REF_INPUTS, f"seq{i}.1.fas")
+        f2 = os.path.join(REF_INPUTS, f"seq{i}.2.fas")
+        if not os.path.exists(f1):
+            break
+        pairs.append((load_fasta(f1)[0], load_fasta(f2)[0]))
+    return pairs
+
+
+def _short_pairs():
+    """Mixed short pairs incl. degenerate and ambiguous cases."""
+    return [
+        ("HEAGAWGHEE", "PAWHEAE"),
+        ("AAAAASSSSSS", "NNNNNSSSSSS"),
+        ("", "ACDEF"),
+        ("W", "W"),
+        ("KKKK", "LLLL"),
+        ("ACDJU", "ACDXX"),
+        ("MKVS", "MKVS"),
+    ]
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+@pytest.mark.parametrize("backend", ["scan", "pallas_interpret"])
+def test_batch_matches_single(mode, backend):
+    pairs = _short_pairs()
+    single = Aligner(mode=mode)
+    ba = BatchAligner(mode=mode, backend=backend)
+    got = ba.align_pairs(pairs, retain_all=True)
+    for p, r in zip(pairs, got):
+        want = single.align(p[0], p[1], True)
+        assert r.score == pytest.approx(want.score), p
+        assert r.aligned1 == want.aligned1, p
+        assert r.aligned2 == want.aligned2, p
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL])
+def test_batch_suite_pairs_scan(mode):
+    if not os.path.isdir(REF_INPUTS):
+        pytest.skip("no reference fixtures")
+    pairs = _suite_pairs(6)
+    single = Aligner(mode=mode)
+    got = BatchAligner(mode=mode, backend="scan").align_pairs(pairs)
+    for p, r in zip(pairs, got):
+        want = single.align(p[0], p[1], True)
+        assert (r.score, r.aligned1, r.aligned2) == (
+            want.score,
+            want.aligned1,
+            want.aligned2,
+        )
+
+
+def test_score_pairs():
+    pairs = _short_pairs()
+    ba = BatchAligner(mode=LOCAL, backend="scan")
+    scores = ba.score_pairs(pairs)
+    full = [r.score for r in ba.align_pairs(pairs)]
+    np.testing.assert_allclose(scores, full)
+
+
+def test_scaled_matrix_batch():
+    """Integer x10 matrix stays on the int8 fast path and stays exact."""
+    case = CASES["scaled_local"][0]
+    sm = SubstitutionMatrix.blosum62()
+    sm.table = sm.table * 10.0
+    ba = BatchAligner(
+        scoring_matrix=sm, gap_open=100.0, gap_extend=5.0, mode=LOCAL,
+        backend="pallas_interpret",
+    )
+    assert ba._table_is_int
+    r = ba.align_pairs([(case["seq1"], case["seq2"])], retain_all=False)[0]
+    assert r.aligned1 == case["aligned1"]
+    assert r.aligned2 == case["aligned2"]
+
+
+def test_sharded_mesh_8_devices():
+    """shard_map over an 8-device CPU mesh, Pallas kernel in interpret mode."""
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    mesh = make_mesh(8)
+    dp = DataParallel(mesh)
+    pairs = _short_pairs() * 12  # 84 pairs -> 2 tiles/device after padding
+    ba = BatchAligner(
+        mode=LOCAL, backend="pallas_interpret", device_axis=dp
+    )
+    single = Aligner(mode=LOCAL)
+    got = ba.align_pairs(pairs)
+    for p, r in zip(pairs, got):
+        want = single.align(p[0], p[1], True)
+        assert (r.score, r.aligned1, r.aligned2) == (
+            want.score,
+            want.aligned1,
+            want.aligned2,
+        )

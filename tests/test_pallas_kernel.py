@@ -1,0 +1,118 @@
+"""Pallas fill kernel vs the scan reference path: bit-exact equivalence.
+
+The scan path (ops/scan_dp.py) is string-exact against all 300 EMBOSS golden
+fixtures; the Pallas kernel (ops/pallas_dp.py) must reproduce its traceback
+pointers and stats cell-for-cell.  Runs in interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from smithwaterman_tpu.config import GLOBAL, GLOCAL, LOCAL
+from smithwaterman_tpu.matrices import SubstitutionMatrix
+from smithwaterman_tpu.ops import batch, scan_dp
+from smithwaterman_tpu.ops.pallas_dp import TB
+
+RNG = np.random.default_rng(12345)
+NP_PAD = 64
+MP_PAD = 128
+OG, EG = -10.0, -0.5
+
+
+def _random_batch(k=24):
+    """TB pairs with assorted true lengths; returns codes + lengths."""
+    n = np.array([5, 17, 64, 64, 50, 1, 33, 44], dtype=np.int32)
+    m = np.array([7, 128, 50, 128, 1, 99, 13, 60], dtype=np.int32)
+    codes1 = RNG.integers(0, k, size=(TB, NP_PAD)).astype(np.int32)
+    codes2 = RNG.integers(0, k, size=(TB, MP_PAD)).astype(np.int32)
+    return codes1, codes2, n, m
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_kernel_matches_scan(mode):
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _random_batch(sm.n_symbols)
+
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True)
+    )
+    # integer one-hot matmul must be exact
+    for b in range(TB):
+        np.testing.assert_array_equal(
+            S_tiled[0, :, b, :].astype(np.float32), S_dense[b]
+        )
+
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=mode, og=OG, eg=EG, interpret=True
+    )
+
+    ref = batch.fill_scan(S_dense, n, m, mode=mode, og=OG, eg=EG)
+
+    for b in range(TB):
+        nb, mb = int(n[b]), int(m[b])
+        ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
+        theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
+        np.testing.assert_array_equal(ours, theirs, err_msg=f"pair {b} tb")
+        if mode == LOCAL:
+            assert stats[b, 0] == pytest.approx(float(ref.best[b])), f"pair {b}"
+            if float(ref.best[b]) > 0:
+                assert int(stats[b, 1]) == int(ref.best_i[b]), f"pair {b} i"
+                assert int(stats[b, 2]) == int(ref.best_j[b]), f"pair {b} j"
+        else:
+            np.testing.assert_allclose(
+                stats[b, 3:6], np.asarray(ref.final[b]), err_msg=f"pair {b}"
+            )
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_kernel_score_only(mode):
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _random_batch(sm.n_symbols)
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True)
+    )
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=mode, og=OG, eg=EG, score_only=True, interpret=True
+    )
+    assert tb_tiled is None
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=mode, og=OG, eg=EG, score_only=True)
+    for b in range(TB):
+        if mode == LOCAL:
+            assert stats[b, 0] == pytest.approx(float(ref.best[b]))
+        else:
+            np.testing.assert_allclose(stats[b, 3:6], np.asarray(ref.final[b]))
+
+
+def test_float_table_path():
+    """Non-integer tables use the exact f32 gather path."""
+    sm = SubstitutionMatrix.blosum62()
+    table = sm.table + 0.123
+    assert not batch.is_integer_table(table)
+    codes1, codes2, n, m = _random_batch(sm.n_symbols)
+    S_tiled = np.asarray(batch.scores_tiled(table, codes1, codes2, as_int8=False))
+    assert S_tiled.dtype == np.float32
+    for b in range(TB):
+        expect = table[np.ix_(codes1[b], codes2[b])].astype(np.float32)
+        np.testing.assert_array_equal(S_tiled[0, :, b, :], expect)
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=LOCAL, og=OG, eg=EG, interpret=True
+    )
+    ref = batch.fill_scan(
+        np.stack([table[np.ix_(codes1[b], codes2[b])] for b in range(TB)]).astype(
+            np.float32
+        ),
+        n,
+        m,
+        mode=LOCAL,
+        og=OG,
+        eg=EG,
+    )
+    for b in range(TB):
+        assert stats[b, 0] == pytest.approx(float(ref.best[b]))
