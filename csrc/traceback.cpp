@@ -1,0 +1,103 @@
+// Native traceback walker for smithwaterman_tpu.
+//
+// The O(n+m) pointer walk is serial and branchy — the one part of the
+// pipeline that belongs on the host CPU (the reference GPU engine makes the
+// same split: packed flags come back from the device and the host
+// reconstructs strings, rust/sa_opencl/src/opencl_sequence_alignment.rs:765-795).
+// This walker consumes the packed 2-bit-per-state pointer bytes emitted by
+// both device fills:
+//   bits 0-1: predecessor state of M, bits 2-3: of X, bits 4-5: of Y;
+//   value 3 (CELL_STOP) = local-mode "score is zero, stop".
+//
+// Two layouts:
+//   sw_traceback        — full matrix incl. boundary row/col (scan path);
+//                         row_stride in ELEMENTS.
+//   sw_traceback_tiled  — interior cells only (Pallas path): tb[(i-1), (j-1)]
+//                         holds cell (i, j); boundary pointers are closed
+//                         form (see ops/traceback.py:_boundary_prev);
+//                         row_stride in BYTES (strided numpy view).
+//
+// Outputs are 0-based residue indices (-1 = gap) in walk order (callers
+// reverse). Returns the emitted count, or -1 if capacity is exceeded.
+
+#include <cstdint>
+
+namespace {
+
+constexpr int64_t MATCH = 0;
+constexpr int64_t GAPINX = 1;  // gap in seq1: consumes j
+constexpr int64_t GAPINY = 2;  // gap in seq2: consumes i
+constexpr int64_t STOP = 3;
+
+inline int64_t boundary_prev(int64_t i, int64_t j, int64_t s, bool local) {
+  if (i == 0 && j == 0) return (local && s == MATCH) ? STOP : MATCH;
+  if (i == 0) return (local && s == GAPINX) ? STOP : GAPINX;
+  return (local && s == GAPINY) ? STOP : GAPINY;
+}
+
+template <bool kTiled>
+int64_t walk(const uint8_t* tb, int64_t row_stride, int64_t si, int64_t sj,
+             int64_t state, int64_t local_flag, int64_t* out1, int64_t* out2,
+             int64_t cap) {
+  const bool local = local_flag != 0;
+  int64_t i = si, j = sj, s = state;
+  int64_t count = 0;
+  for (;;) {
+    int64_t prev;
+    if (kTiled) {
+      if (i >= 1 && j >= 1) {
+        prev = (tb[(i - 1) * row_stride + (j - 1)] >> (2 * s)) & 3;
+      } else {
+        prev = boundary_prev(i, j, s, local);
+      }
+    } else {
+      prev = (tb[i * row_stride + j] >> (2 * s)) & 3;
+    }
+    if (local && prev == STOP) break;
+    if (count >= cap) return -1;
+    switch (s) {
+      case MATCH:
+        out1[count] = i - 1;
+        out2[count] = j - 1;
+        --i;
+        --j;
+        break;
+      case GAPINX:
+        out1[count] = -1;
+        out2[count] = j - 1;
+        --j;
+        break;
+      case GAPINY:
+        out1[count] = i - 1;
+        out2[count] = -1;
+        --i;
+        break;
+      default:
+        return -1;  // corrupt pointer
+    }
+    ++count;
+    if (i == 0 && j == 0) break;
+    s = prev;
+  }
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t sw_traceback(const uint8_t* tb, int64_t row_stride, int64_t si,
+                     int64_t sj, int64_t state, int64_t local, int64_t* out1,
+                     int64_t* out2, int64_t cap) {
+  return walk<false>(tb, row_stride, si, sj, state, local, out1, out2, cap);
+}
+
+int64_t sw_traceback_tiled(const uint8_t* tb, int64_t row_stride_bytes,
+                           int64_t si, int64_t sj, int64_t state,
+                           int64_t local, int64_t* out1, int64_t* out2,
+                           int64_t cap) {
+  return walk<true>(tb, row_stride_bytes, si, sj, state, local, out1, out2,
+                    cap);
+}
+
+}  // extern "C"

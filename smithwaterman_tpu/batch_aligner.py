@@ -67,6 +67,8 @@ class BatchAligner:
         self.backend = backend or default_backend()
         self.device_axis = device_axis  # parallel.DataParallel or None
         self.tile_pairs = tile_pairs
+        # opt-in observability: assign a utils.metrics.StatsCollector
+        self.stats = None
         self._table_is_int = batch_ops.is_integer_table(
             np.asarray(self.scoring_matrix.table, np.float32)
         ) if hasattr(self.scoring_matrix, "table") else False
@@ -129,11 +131,14 @@ class BatchAligner:
         return choose_tile(count, mp_pad)
 
     def _run_bucket(self, bk, seqs, results, retain_all, score_only):
+        import time as _time
+
         og, eg = self.config.og, self.config.eg
         count = len(bk.indices)
         tile = self._bucket_tile(count, bk.mp_pad)
         step = tile * (self.device_axis.n_devices if self.device_axis else 1)
         B = -(-count // step) * step
+        t_fill0 = _time.time()
         NP, MP = bk.np_pad, bk.mp_pad
         codes1 = np.zeros((B, NP), np.int32)
         codes2 = np.zeros((B, MP), np.int32)
@@ -155,6 +160,16 @@ class BatchAligner:
             get_tb = lambda k: tb_t[k]
             walk = traceback.walk
 
+        t_fill = _time.time() - t_fill0
+        if self.stats is not None:
+            bs = self.stats.bucket(bk.np_pad, bk.mp_pad)
+            bs.pairs += count
+            bs.padded_pairs += B
+            bs.true_cells += int(np.sum(n[:count].astype(np.int64) * m[:count]))
+            bs.padded_cells += B * bk.np_pad * bk.mp_pad
+            bs.device_seconds += t_fill
+
+        t_walk0 = _time.time()
         for k in range(count):
             idx = bk.indices[k]
             s1, s2 = seqs[idx]
@@ -179,6 +194,10 @@ class BatchAligner:
                 idx1, idx2 = walk(get_tb(k), nb, mb, state, False)
             results[idx] = reconstruct_alignment(
                 s1.seq, s2.seq, idx1, idx2, score, retain_all, self.mode
+            )
+        if self.stats is not None:
+            self.stats.bucket(bk.np_pad, bk.mp_pad).walk_seconds += (
+                _time.time() - t_walk0
             )
 
     # ------------------------------------------------------------------

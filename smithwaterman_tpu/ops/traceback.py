@@ -27,35 +27,55 @@ _LIB = None
 _LIB_TRIED = False
 
 
+_ARGTYPES = [
+    ctypes.POINTER(ctypes.c_uint8),  # tb
+    ctypes.c_int64,  # row stride (elements for walk, bytes for tiled)
+    ctypes.c_int64,  # start i
+    ctypes.c_int64,  # start j
+    ctypes.c_int64,  # start state
+    ctypes.c_int64,  # local flag
+    ctypes.POINTER(ctypes.c_int64),  # out idx1
+    ctypes.POINTER(ctypes.c_int64),  # out idx2
+    ctypes.c_int64,  # out capacity
+]
+
+
+def _try_build(here: str) -> None:
+    """Best-effort build of the native walker (csrc/Makefile)."""
+    import subprocess
+
+    csrc = os.path.join(os.path.dirname(here), "csrc")
+    if not os.path.exists(os.path.join(csrc, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=csrc, timeout=60,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, check=False,
+        )
+    except Exception:
+        pass
+
+
 def _load_native():
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    if os.environ.get("SWT_NO_NATIVE"):
+        return None
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for cand in (
-        os.path.join(here, "_native", "libswtrace.so"),
-        os.path.join(os.path.dirname(here), "csrc", "libswtrace.so"),
-    ):
-        if os.path.exists(cand):
-            try:
-                lib = ctypes.CDLL(cand)
-                lib.sw_traceback.restype = ctypes.c_int64
-                lib.sw_traceback.argtypes = [
-                    ctypes.POINTER(ctypes.c_uint8),  # tb
-                    ctypes.c_int64,  # row stride (mpad+1)
-                    ctypes.c_int64,  # start i
-                    ctypes.c_int64,  # start j
-                    ctypes.c_int64,  # start state
-                    ctypes.c_int64,  # local flag
-                    ctypes.POINTER(ctypes.c_int64),  # out idx1
-                    ctypes.POINTER(ctypes.c_int64),  # out idx2
-                    ctypes.c_int64,  # out capacity
-                ]
-                _LIB = lib
-                break
-            except OSError:
-                continue
+    cand = os.path.join(here, "_native", "libswtrace.so")
+    if not os.path.exists(cand):
+        _try_build(here)
+    if os.path.exists(cand):
+        try:
+            lib = ctypes.CDLL(cand)
+            for fn in (lib.sw_traceback, lib.sw_traceback_tiled):
+                fn.restype = ctypes.c_int64
+                fn.argtypes = _ARGTYPES
+            _LIB = lib
+        except (OSError, AttributeError):
+            _LIB = None
     return _LIB
 
 

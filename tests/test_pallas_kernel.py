@@ -38,7 +38,7 @@ def test_kernel_matches_scan(mode):
     ).astype(np.float32)
 
     S_tiled = np.asarray(
-        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True)
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
     )
     # integer one-hot matmul must be exact
     for b in range(TB):
@@ -73,7 +73,7 @@ def test_kernel_score_only(mode):
     sm = SubstitutionMatrix.blosum62()
     codes1, codes2, n, m = _random_batch(sm.n_symbols)
     S_tiled = np.asarray(
-        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True)
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
     )
     tb_tiled, stats = batch.fill_pallas(
         S_tiled, n, m, mode=mode, og=OG, eg=EG, score_only=True, interpret=True
@@ -96,7 +96,7 @@ def test_float_table_path():
     table = sm.table + 0.123
     assert not batch.is_integer_table(table)
     codes1, codes2, n, m = _random_batch(sm.n_symbols)
-    S_tiled = np.asarray(batch.scores_tiled(table, codes1, codes2, as_int8=False))
+    S_tiled = np.asarray(batch.scores_tiled(table, codes1, codes2, as_int8=False, tile=TB))
     assert S_tiled.dtype == np.float32
     for b in range(TB):
         expect = table[np.ix_(codes1[b], codes2[b])].astype(np.float32)

@@ -1,0 +1,49 @@
+"""calc_score + metrics utilities."""
+
+import json
+
+import pytest
+
+from smithwaterman_tpu import Aligner, BatchAligner, LOCAL, GLOCAL, SubstitutionMatrix
+from smithwaterman_tpu.utils.calc_score import recalc_score
+from smithwaterman_tpu.utils.metrics import StatsCollector
+from smithwaterman_tpu.utils.oracle import trim_terminal
+
+
+def test_recalc_matches_engine_local():
+    """Trimmed local alignment scores recompute exactly (calc_score.pl parity)."""
+    a = Aligner(mode=LOCAL)
+    for s1, s2 in [
+        ("HEAGAWGHEE", "PAWHEAE"),
+        ("MKVSEAALSLLVLILIITSASRSQ", "MKVSEAALSLLVLILIITSASRSQ"),
+        ("WWWAAAWWW", "WWWCCCWWW"),
+    ]:
+        r = a.align(s1, s2, True)
+        t1, t2 = trim_terminal(r.aligned1, r.aligned2)
+        assert recalc_score(t1, t2) == pytest.approx(r.score)
+
+
+def test_recalc_leading_gaps_free():
+    # leading gap columns cost nothing; internal gap = open + extends
+    sm = SubstitutionMatrix.blosum62()
+    aa = sm.get_score_str("A", "A")
+    assert recalc_score("--AA", "CCAA") == pytest.approx(2 * aa)
+    assert recalc_score("A--A", "ACCA") == pytest.approx(2 * aa - 10.0 - 0.5)
+
+
+def test_recalc_custom_penalties():
+    assert recalc_score("A-A", "AAA", gap_open=5.0) == pytest.approx(
+        2 * 4.0 - 5.0
+    )
+
+
+def test_stats_collector():
+    ba = BatchAligner(mode=GLOCAL, backend="scan")
+    ba.stats = StatsCollector()
+    ba.align_pairs([("HEAGAWGHEE", "PAWHEAE"), ("WWW", "WWW")])
+    s = ba.stats.summary()
+    assert s["pairs"] == 2
+    assert s["padded_gcups"] >= s["true_gcups"] > 0
+    assert s["device_seconds"] > 0
+    assert 0 <= s["padding_waste"] < 1
+    json.dumps(s)  # serializable
