@@ -59,6 +59,7 @@ class BatchAligner:
         backend: Optional[str] = None,
         device_axis=None,
         tile_pairs: Optional[int] = None,
+        longseq_cells: int = 2048 * 2048,
     ):
         if config is None:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
@@ -67,6 +68,10 @@ class BatchAligner:
         self.backend = backend or default_backend()
         self.device_axis = device_axis  # parallel.DataParallel or None
         self.tile_pairs = tile_pairs
+        # buckets with >= this many padded cells use the checkpointed-fill +
+        # banded-traceback path (ops/longseq.py) instead of streaming the
+        # full pointer matrix to host
+        self.longseq_cells = longseq_cells
         # opt-in observability: assign a utils.metrics.StatsCollector
         self.stats = None
         self._table_is_int = batch_ops.is_integer_table(
@@ -151,7 +156,23 @@ class BatchAligner:
             n[k] = len(c1)
             m[k] = len(c2)
 
-        if self.backend in ("pallas", "pallas_interpret"):
+        idx_ready = None
+        get_tb = walk = None
+        use_longseq = (
+            self.backend in ("pallas", "pallas_interpret")
+            and not score_only
+            and self.device_axis is None
+            and bk.np_pad * bk.mp_pad >= self.longseq_cells
+        )
+        if use_longseq:
+            from .ops import longseq
+
+            S = self._scores(codes1, codes2, tile)
+            idx_ready, stats = longseq.align_long(
+                S, n, m, mode=self.mode, og=og, eg=eg,
+                interpret=self.backend == "pallas_interpret",
+            )
+        elif self.backend in ("pallas", "pallas_interpret"):
             tb_t, stats = self._fill_pallas(codes1, codes2, n, m, score_only, tile)
             get_tb = lambda k: batch_ops.tb_pair_view(tb_t, k)
             walk = traceback.walk_tiled
@@ -184,7 +205,9 @@ class BatchAligner:
             if score_only:
                 results[idx] = AlignResult("", "", score)
                 continue
-            if self.mode == LOCAL:
+            if idx_ready is not None:
+                idx1, idx2 = idx_ready[k]
+            elif self.mode == LOCAL:
                 if best <= 0.0:
                     idx1: List[int] = []
                     idx2: List[int] = []
@@ -201,15 +224,18 @@ class BatchAligner:
             )
 
     # ------------------------------------------------------------------
-    def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
+    def _scores(self, codes1, codes2, tile):
         table = np.asarray(self.scoring_matrix.table, np.float32)
-        S = batch_ops.scores_tiled(
+        return batch_ops.scores_tiled(
             jax.numpy.asarray(table),
             codes1,
             codes2,
             as_int8=self._table_is_int,
             tile=tile,
         )
+
+    def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
+        S = self._scores(codes1, codes2, tile)
         run = batch_ops.fill_pallas
         if self.device_axis is not None:
             run = self.device_axis.fill_pallas

@@ -88,9 +88,11 @@ def fill_pallas(
     interpret: bool = False,
 ) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """Run the Pallas kernel; returns host arrays (tb_tiled, stats (B, 8))."""
-    G, _, tile, _ = S_tiled.shape
-    nt = jnp.asarray(np.asarray(n).reshape(G, tile, 1), jnp.int32)
-    mt = jnp.asarray(np.asarray(m).reshape(G, tile, 1), jnp.int32)
+    G, NP, tile, MP = S_tiled.shape
+    n = np.asarray(n)
+    m = np.asarray(m)
+    nt = jnp.asarray(n.reshape(G, tile, 1), jnp.int32)
+    mt = jnp.asarray(m.reshape(G, tile, 1), jnp.int32)
     tb, stats = pallas_dp.fill_tiled(
         S_tiled,
         nt,
@@ -102,8 +104,16 @@ def fill_pallas(
         interpret=interpret,
     )
     stats_np = np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)
-    tb_np = np.asarray(tb) if tb is not None else None
-    return tb_np, stats_np
+    if tb is None:
+        return None, stats_np
+    # slice to the bucket's true max lengths on-device before the (possibly
+    # tunnel-bound) device->host copy; rows to a sublane multiple, cols to a
+    # lane multiple
+    max_n = min(NP, -(-int(n.max()) // 8) * 8)
+    max_m = min(MP, -(-int(m.max()) // 128) * 128)
+    if max_n < NP or max_m < MP:
+        tb = tb[:, :max_n, :, :max_m]
+    return np.asarray(tb), stats_np
 
 
 _scan_batch = jax.jit(

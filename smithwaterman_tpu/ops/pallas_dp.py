@@ -99,15 +99,7 @@ def _cummax_lanes(v, width: int):
 
 
 def _kernel(
-    n_ref,      # (1, TBP, 1) i32 VMEM
-    m_ref,      # (1, TBP, 1) i32 VMEM
-    s_ref,      # (1, RB, TBP, MP) int8/f32 VMEM
-    tb_ref,     # (1, RB, TBP, MP) uint8 VMEM (absent when score_only)
-    stats_ref,  # (1, TBP, STATS_W) f32 VMEM
-    cm, cx, cy,           # (TBP, MP) f32 scratch: row carries
-    runbest, runbest_i,   # (TBP, MP) f32 / i32 scratch (local argmax)
-    acc,                  # (TBP, STATS_W) f32 scratch (final-cell capture)
-    *,
+    *refs,
     mode: int,
     og: float,
     eg: float,
@@ -116,13 +108,45 @@ def _kernel(
     mp: int,
     n_row_blocks: int,
     score_only: bool,
+    seeded: bool = False,
+    ckpt: bool = False,
 ):
+    """Ref layout (flag-dependent):
+      inputs:  n (1,TBP,1), m (1,TBP,1),
+               [seeded: i0 (1,1) SMEM, icm/icx/icy (1,TBP,MP)],
+               S (1,RB,TBP,MP)
+      outputs: [not score_only: tb (1,RB,TBP,MP)], stats (1,TBP,STATS_W),
+               [ckpt: ckm/ckx/cky (1,1,TBP,MP)]
+      scratch: cm, cx, cy, runbest, runbest_i, acc
+    """
+    it = iter(refs)
+    n_ref = next(it)
+    m_ref = next(it)
+    if seeded:
+        i0_ref = next(it)
+        icm_ref = next(it)
+        icx_ref = next(it)
+        icy_ref = next(it)
+    s_ref = next(it)
+    tb_ref = None if score_only else next(it)
+    stats_ref = next(it)
+    if ckpt:
+        ckm_ref = next(it)
+        ckx_ref = next(it)
+        cky_ref = next(it)
+    cm, cx, cy, runbest, runbest_i, acc = it
+
     rb = pl.program_id(1)
     if mode == GLOBAL:
         so, se = og, eg
     else:
         so, se = 0.0, 0.0
     sent = 10.0 * og + 10.0 * eg
+    # global row offset of this call's row 0 (band refills start mid-matrix)
+    i0 = i0_ref[0, 0] if seeded else 0
+    # local argmax (i, j) is needed whenever a traceback will follow — also
+    # in the score-only checkpointed fill (ops/longseq.py walks from it)
+    track_arg = (not score_only) or ckpt
 
     nvec = n_ref[0, :, :]            # (TBP, 1)
     mvec = m_ref[0, :, :]            # (TBP, 1)
@@ -143,20 +167,26 @@ def _kernel(
 
     @pl.when(rb == 0)
     def _init():
-        # boundary row i == 0, j = 1..MP (rs:100-108)
-        lsc = jf1 * se + (so - se)
-        cm[:, :] = lsc + sent
-        cx[:, :] = lsc
-        cy[:, :] = lsc + sent
+        if seeded:
+            # carries handed in from a checkpoint row (ops/longseq.py)
+            cm[:, :] = icm_ref[0, :, :]
+            cx[:, :] = icx_ref[0, :, :]
+            cy[:, :] = icy_ref[0, :, :]
+        else:
+            # boundary row i == 0, j = 1..MP (rs:100-108)
+            lsc = jf1 * se + (so - se)
+            cm[:, :] = lsc + sent
+            cx[:, :] = lsc
+            cy[:, :] = lsc + sent
         if mode == LOCAL:
             runbest[:, :] = jnp.full((tbp, mp), NEG, jnp.float32)
-            if not score_only:
+            if track_arg:
                 runbest_i[:, :] = jnp.full((tbp, mp), BIGI, jnp.int32)
         else:
             acc[:, :] = jnp.zeros((tbp, STATS_W), jnp.float32)
 
     def row_step(r, _):
-        i = rb * rb_rows + r + 1  # 1-based global row
+        i = i0 + rb * rb_rows + r + 1  # 1-based global row
         fi = jnp.float32(i)
         srow = s_ref[0, r, :, :].astype(jnp.float32)
 
@@ -259,7 +289,7 @@ def _kernel(
         if mode == LOCAL:
             in_range = valid_j & (i <= nvec)
             masked = jnp.where(in_range, val_m, NEG)
-            if score_only:
+            if not track_arg:
                 runbest[:, :] = jnp.maximum(runbest[:, :], masked)
             else:
                 upd = masked > runbest[:, :]
@@ -284,11 +314,19 @@ def _kernel(
 
     jax.lax.fori_loop(0, rb_rows, row_step, 0, unroll=False)
 
+    if ckpt:
+        # the block index map folds several row blocks onto one checkpoint
+        # block; the last write of the group is what lands in HBM, i.e. the
+        # carries after the group's final row
+        ckm_ref[0, 0, :, :] = cm[:, :]
+        ckx_ref[0, 0, :, :] = cx[:, :]
+        cky_ref[0, 0, :, :] = cy[:, :]
+
     @pl.when(rb == n_row_blocks - 1)
     def _finish():
         if mode == LOCAL:
             gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)  # (TBP, 1)
-            if score_only:
+            if not track_arg:
                 zeros = jnp.zeros((tbp, STATS_W - 1), jnp.float32)
                 stats_ref[0, :, :] = jnp.concatenate([gmax, zeros], axis=1)
             else:
@@ -381,11 +419,8 @@ def fill_tiled(
     )
 
     if score_only:
-        def kern(n_ref, m_ref, s_ref, stats_ref, *scr):
-            return kernel(n_ref, m_ref, s_ref, None, stats_ref, *scr)
-
         stats = pl.pallas_call(
-            kern,
+            kernel,
             grid=grid,
             in_specs=in_specs,
             out_shape=stats_shape,
@@ -411,4 +446,143 @@ def fill_tiled(
         cost_estimate=cost,
         interpret=interpret,
     )(n, m, S)
+    return tb, stats
+
+
+def _common_specs(tbp, rb_rows, MP, dtype_itemsize=None):
+    in_specs = [
+        pl.BlockSpec((1, tbp, 1), lambda ib, rb: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tbp, 1), lambda ib, rb: (ib, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    s_spec = pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
+                          memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda ib, rb: (ib, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return in_specs, s_spec, stats_spec
+
+
+def _scratch(tbp, MP):
+    return [
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.int32),
+        pltpu.VMEM((tbp, STATS_W), jnp.float32),
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "og", "eg", "ckpt_rows", "interpret"),
+)
+def fill_checkpointed(
+    S,  # (G, NP, TBP, MP) int8 or f32
+    n,  # (G, TBP, 1) int32
+    m,  # (G, TBP, 1) int32
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    ckpt_rows: int,
+    interpret: bool = False,
+):
+    """Score-only fill that also checkpoints the (M, X, Y) carry rows every
+    ``ckpt_rows`` rows.  Returns ``(stats, (ckm, ckx, cky))`` with each
+    checkpoint array shaped (G, NP // ckpt_rows, TBP, MP) f32; checkpoint k
+    holds the carries after global row ``(k+1) * ckpt_rows``.
+
+    This is the memory-lean half of long-sequence traceback
+    (O(NP/ckpt_rows * MP) instead of O(NP * MP) pointer bytes); segments are
+    then re-filled with :func:`fill_band`.
+    """
+    G, NP, tbp, MP = S.shape
+    rb_rows = min(_row_block(NP, MP, tbp, S.dtype.itemsize), ckpt_rows)
+    if ckpt_rows % rb_rows:
+        raise ValueError(f"ckpt_rows {ckpt_rows} not a multiple of row block {rb_rows}")
+    spc = ckpt_rows // rb_rows  # row blocks per checkpoint
+    n_row_blocks = NP // rb_rows
+    ncks = NP // ckpt_rows
+
+    kernel = functools.partial(
+        _kernel,
+        mode=mode, og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
+        n_row_blocks=n_row_blocks, score_only=True, ckpt=True,
+    )
+    in_specs, s_spec, stats_spec = _common_specs(tbp, rb_rows, MP)
+    ck_shape = jax.ShapeDtypeStruct((G, ncks, tbp, MP), jnp.float32)
+    ck_spec = pl.BlockSpec(
+        (1, 1, tbp, MP), lambda ib, rb: (ib, rb // spc, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    stats, ckm, ckx, cky = pl.pallas_call(
+        kernel,
+        grid=(G, n_row_blocks),
+        in_specs=in_specs + [s_spec],
+        out_shape=(
+            jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32),
+            ck_shape, ck_shape, ck_shape,
+        ),
+        out_specs=(stats_spec, ck_spec, ck_spec, ck_spec),
+        scratch_shapes=_scratch(tbp, MP),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(n, m, S)
+    return stats, (ckm, ckx, cky)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "og", "eg", "interpret"),
+)
+def fill_band(
+    S_band,  # (G, C, TBP, MP) int8 or f32
+    n,       # (G, TBP, 1) int32 — TRUE total lengths, not band lengths
+    m,       # (G, TBP, 1) int32
+    i0,      # (1, 1) int32 — global row index of the row above the band
+    icm, icx, icy,  # (G, TBP, MP) f32 — carries at global row i0
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    interpret: bool = False,
+):
+    """Re-fill a ``C``-row band seeded from checkpointed carries, emitting
+    traceback pointers for the band.  Returns ``(tb_band, stats)`` with
+    ``tb_band`` shaped like ``S_band`` (uint8)."""
+    G, C, tbp, MP = S_band.shape
+    rb_rows = _row_block(C, MP, tbp, S_band.dtype.itemsize)
+    n_row_blocks = C // rb_rows
+
+    kernel = functools.partial(
+        _kernel,
+        mode=mode, og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
+        n_row_blocks=n_row_blocks, score_only=False, seeded=True,
+    )
+    in_specs, s_spec, stats_spec = _common_specs(tbp, rb_rows, MP)
+    seed_spec = pl.BlockSpec((1, tbp, MP), lambda ib, rb: (ib, 0, 0),
+                             memory_space=pltpu.VMEM)
+    i0_spec = pl.BlockSpec((1, 1), lambda ib, rb: (0, 0),
+                           memory_space=pltpu.SMEM)
+    tb_spec = pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tb, stats = pl.pallas_call(
+        kernel,
+        grid=(G, n_row_blocks),
+        in_specs=in_specs + [i0_spec, seed_spec, seed_spec, seed_spec, s_spec],
+        out_shape=(
+            jax.ShapeDtypeStruct((G, C, tbp, MP), jnp.uint8),
+            jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32),
+        ),
+        out_specs=(tb_spec, stats_spec),
+        scratch_shapes=_scratch(tbp, MP),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(n, m, i0, icm, icx, icy, S_band)
     return tb, stats
