@@ -97,6 +97,11 @@ class BatchAligner:
         self, pairs: Sequence[Tuple], retain_all: bool, score_only: bool
     ) -> List[AlignResult]:
         sm = self.scoring_matrix
+        if not hasattr(sm, "table"):
+            raise ValueError(
+                "BatchAligner needs a letter-indexed scoring matrix; "
+                "position-specific matrices are per-pair — use Aligner"
+            )
         og, eg = self.config.og, self.config.eg
         results: List[Optional[AlignResult]] = [None] * len(pairs)
         seqs: List[Tuple] = []

@@ -164,6 +164,9 @@ def _kernel(
         qo, qe = og, eg
 
     valid_j = jl < mvec  # lanes carrying real columns
+    # loop-invariant pieces of the X prefix scan (pe is per-row in glocal)
+    if mode != GLOCAL:
+        lanef_pe = lanef * eg
 
     @pl.when(rb == 0)
     def _init():
@@ -217,15 +220,19 @@ def _kernel(
 
         # ---- Y: gap in seq2, from (i-1, j) (prev row, same j)
         if mode == LOCAL:
-            # rs:233-252 — `>=` favors M-open; inner `>` favors X on ties
-            c1 = Mp + og >= Yp + eg
-            c2 = Mp > Xp
-            c3 = Yp + eg > Xp + og
-            val_y = jnp.where(
-                c1,
-                jnp.where(c2, Mp + og, Xp + og),
-                jnp.where(c3, Yp + eg, Xp + og),
-            )
+            if score_only:
+                # values only: the tie cascade picks among equal maxima
+                val_y = jnp.maximum(jnp.maximum(Mp, Xp) + og, Yp + eg)
+            else:
+                # rs:233-252 — `>=` favors M-open; inner `>` favors X on ties
+                c1 = Mp + og >= Yp + eg
+                c2 = Mp > Xp
+                c3 = Yp + eg > Xp + og
+                val_y = jnp.where(
+                    c1,
+                    jnp.where(c2, Mp + og, Xp + og),
+                    jnp.where(c3, Yp + eg, Xp + og),
+                )
         else:
             # rs:192-211 — strict `>` for M-open vs Y-extend
             c1 = Mp + qo > Yp + qe
@@ -251,12 +258,13 @@ def _kernel(
         g0 = lsc_i + po     # max(M,Y) at (i, 0) + po  (Y=lsc_i dominates)
         gline = jnp.maximum(val_m, val_y) + po
         hraw = _shift_right(gline, g0)
-        h = hraw - lanef * pe
+        lpe = lanef * pe if mode == GLOCAL else lanef_pe
+        h = hraw - lpe
         h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp, 1)),
                          x0b + pe)
         h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp, mp)), h)
         c = _cummax_lanes(h, mp)
-        val_x = c + lanef * pe
+        val_x = c + lpe
         if mode == LOCAL:
             val_x = jnp.maximum(val_x, 0.0)
 

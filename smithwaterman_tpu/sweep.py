@@ -1,0 +1,141 @@
+"""All-vs-all alignment sweeps with job-level checkpoint/resume.
+
+The reference's batch drivers hold everything in one process and lose all
+work on a crash (SURVEY.md §5: no failure detection or resume).  This module
+provides the TPU-native equivalent for production sweeps: work is split into
+chunks of pairs, each completed chunk is appended to a JSONL results file
+with an index marker, and a restarted sweep skips every chunk already on
+disk.  Multi-host runs shard chunks round-robin by process index.
+
+Results are scores (score_only sweeps) or full alignments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+from .batch_aligner import BatchAligner
+from .io.fasta import SeqData
+
+
+@dataclass
+class SweepConfig:
+    chunk_pairs: int = 256          # pairs per checkpointed chunk
+    score_only: bool = True
+    retain_all: bool = False
+    process_index: int = 0          # this host's index (multi-host)
+    process_count: int = 1
+
+
+def _pair_indices(n1: int, n2: Optional[int]) -> Iterator[Tuple[int, int]]:
+    """All-vs-all (two sets) or upper-triangle (self sweep)."""
+    if n2 is None:
+        for i in range(n1):
+            for j in range(i + 1, n1):
+                yield (i, j)
+    else:
+        for i in range(n1):
+            for j in range(n2):
+                yield (i, j)
+
+
+def _chunks(items: List, size: int) -> List[List]:
+    return [items[k : k + size] for k in range(0, len(items), size)]
+
+
+def sweep(
+    set1: Sequence[SeqData],
+    set2: Optional[Sequence[SeqData]],
+    engine: BatchAligner,
+    out_path: str,
+    config: Optional[SweepConfig] = None,
+) -> int:
+    """Run (or resume) a sweep; returns the number of chunks this call
+    completed.  Every line of ``out_path`` is a JSON object:
+    ``{"chunk": k, "results": [[i, j, score, (aligned1, aligned2)?], ...]}``.
+    """
+    cfg = config or SweepConfig()
+    pairs_idx = list(_pair_indices(len(set1), None if set2 is None else len(set2)))
+    chunks = _chunks(pairs_idx, cfg.chunk_pairs)
+
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["chunk"])
+                except (json.JSONDecodeError, KeyError):
+                    # a torn write from a previous crash: that chunk reruns
+                    continue
+        # seal a torn final line so appended records start on a fresh line
+        with open(out_path, "rb+") as f:
+            f.seek(0, os.SEEK_END)
+            if f.tell() > 0:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+
+    other = set1 if set2 is None else set2
+    completed = 0
+    with open(out_path, "a") as f:
+        for k, chunk in enumerate(chunks):
+            if k in done:
+                continue
+            if k % cfg.process_count != cfg.process_index:
+                continue
+            pair_seqs = [(set1[i], other[j]) for i, j in chunk]
+            if cfg.score_only:
+                scores = engine.score_pairs(pair_seqs)
+                results = [
+                    [i, j, float(s)] for (i, j), s in zip(chunk, scores)
+                ]
+            else:
+                rs = engine.align_pairs(pair_seqs, retain_all=cfg.retain_all)
+                results = [
+                    [i, j, r.score, r.aligned1, r.aligned2]
+                    for (i, j), r in zip(chunk, rs)
+                ]
+            f.write(json.dumps({"chunk": k, "results": results}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+            completed += 1
+    return completed
+
+
+def load_sweep(out_path: str) -> List[List]:
+    """Flatten a sweep results file into one list of result rows."""
+    rows: List[List] = []
+    with open(out_path) as f:
+        for line in f:
+            try:
+                rows.extend(json.loads(line)["results"])
+            except (json.JSONDecodeError, KeyError):
+                continue
+    return rows
+
+
+def score_matrix(
+    set1: Sequence[SeqData],
+    set2: Optional[Sequence[SeqData]],
+    engine: BatchAligner,
+    out_path: str,
+    config: Optional[SweepConfig] = None,
+):
+    """Sweep + assemble the dense score matrix (numpy).  Self-sweeps return
+    a symmetric matrix with zero diagonal."""
+    import numpy as np
+
+    cfg = config or SweepConfig()
+    sweep(set1, set2, engine, out_path, cfg)
+    n1 = len(set1)
+    n2 = n1 if set2 is None else len(set2)
+    mat = np.zeros((n1, n2), np.float32)
+    for row in load_sweep(out_path):
+        i, j, s = int(row[0]), int(row[1]), float(row[2])
+        mat[i, j] = s
+        if set2 is None:
+            mat[j, i] = s
+    return mat
