@@ -44,7 +44,13 @@ will be aligned."""
 
 @dataclass
 class AlignmentOptions:
-    """Option parsing parity: sa_opencl/src/main.rs:35-112."""
+    """Option parsing parity: sa_opencl/src/main.rs:35-112.
+
+    Extensions beyond the reference surface (its engines accept these but
+    its CLIs hardcode them; the JS UI exposes penalties in its form,
+    SmithWaterman.html:396-397): ``-gapopen``, ``-gapextend``, ``-matrix
+    blosum62|dna|<file>``, ``-match``/``-mismatch`` for the dna matrix
+    (defaults 4/-1 per SmithWaterman.html:62-69)."""
 
     alignment_type: int = LOCAL
     file1: str = ""
@@ -55,6 +61,11 @@ class AlignmentOptions:
     c_identity: Optional[float] = None
     c_coverage_short: Optional[float] = None
     c_coverage_long: Optional[float] = None
+    gap_open: float = 10.0
+    gap_extend: float = 0.5
+    matrix: str = "blosum62"
+    match: float = 4.0
+    mismatch: float = -1.0
 
     @classmethod
     def parse(cls, args: List[str]) -> "AlignmentOptions":
@@ -94,6 +105,21 @@ class AlignmentOptions:
             elif a == "-out":
                 ret.outfilename = args[ii + 1]
                 flag[ii] = flag[ii + 1] = True
+            elif a == "-gapopen":
+                ret.gap_open = numeric(ii)
+                flag[ii] = flag[ii + 1] = True
+            elif a == "-gapextend":
+                ret.gap_extend = numeric(ii)
+                flag[ii] = flag[ii + 1] = True
+            elif a == "-match":
+                ret.match = numeric(ii)
+                flag[ii] = flag[ii + 1] = True
+            elif a == "-mismatch":
+                ret.mismatch = numeric(ii)
+                flag[ii] = flag[ii + 1] = True
+            elif a == "-matrix":
+                ret.matrix = args[ii + 1]
+                flag[ii] = flag[ii + 1] = True
             elif not flag[ii]:
                 if a.startswith("-"):
                     raise SystemExit(f"Unknown option {a}")
@@ -112,6 +138,16 @@ class AlignmentOptions:
             if ret.clustering and not ret.outfilename:
                 raise SystemExit("Clustering must have -out.")
         return ret
+
+
+def make_matrix(opts: AlignmentOptions):
+    from .matrices import SubstitutionMatrix
+
+    if opts.matrix == "blosum62":
+        return SubstitutionMatrix.blosum62()
+    if opts.matrix == "dna":
+        return SubstitutionMatrix.match_mismatch(opts.match, opts.mismatch)
+    return SubstitutionMatrix.from_file(opts.matrix)
 
 
 def format_score(score: float) -> str:
@@ -183,7 +219,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         sys.stderr.write(USAGE + "\n")
         sys.exit(255)
     opts = AlignmentOptions.parse(args)
-    engine = BatchAligner(mode=opts.alignment_type)
+    engine = BatchAligner(
+        scoring_matrix=make_matrix(opts),
+        gap_open=opts.gap_open,
+        gap_extend=opts.gap_extend,
+        mode=opts.alignment_type,
+    )
     if opts.clustering:
         seqs = load_fasta(opts.file1)
         cluster_of, members, order = greedy_cluster(

@@ -150,3 +150,33 @@ def test_cluster_cli_end_to_end(tmp_path, capsys):
     assert out.exists() and (tmp_path / "clusters.fas.clstr").exists()
     reps = [r.name for r in load_fasta(str(out))]
     assert "dup1" in reps and "faraway" in reps
+
+
+def test_extension_flags(tmp_path, capsys):
+    """-gapopen/-gapextend/-matrix extensions reproduce the DNA parity case
+    (the reference engines accept these; its CLIs hardcode them)."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "data", "parity_cases.json")) as f:
+        case = json.load(f)["dna"][0]
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(f">s1\n{case['seq1']}\n")
+    f2.write_text(f">s2\n{case['seq2']}\n")
+    main(["-local", "-matrix", "dna", "-match", "5", "-mismatch", "-4",
+          "-gapopen", "10", "-gapextend", "0.5", str(f1), str(f2)])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "#score:54.5"
+    assert out[3] == case["aligned1"]
+
+
+def test_matrix_file_flag(tmp_path, capsys):
+    mat = tmp_path / "m.mat"
+    mat.write_text("  A B\nA 9 -9\nB -9 9\n")
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(">s1\nAAB\n")
+    f2.write_text(">s2\nAAB\n")
+    main(["-local", "-matrix", str(mat), str(f1), str(f2)])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "#score:27"
