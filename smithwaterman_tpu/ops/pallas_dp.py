@@ -73,7 +73,7 @@ def choose_tile(count: int, mp_pad: int) -> int:
     vmax = 8
     for t in (16, 32, 64, 128):
         # 5 f32 scratch rows per pair + headroom for S/tb blocks
-        if t * mp_pad * 4 * 5 <= (8 << 20):
+        if t * mp_pad * 4 * 5 <= (4 << 20):
             vmax = t
     need = -(-max(count, 1) // 8) * 8  # batch rounded up to sublane multiple
     tile = 8
