@@ -59,7 +59,7 @@ class BatchAligner:
         backend: Optional[str] = None,
         device_axis=None,
         tile_pairs: Optional[int] = None,
-        longseq_cells: int = 2048 * 2048,
+        longseq_cells: int = 8192 * 4096,
     ):
         if config is None:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
