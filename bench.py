@@ -30,7 +30,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        tile, B, NP, MP, ncall = 128, 512, 512, 512, 8
+        tile, B, NP, MP, ncall = 128, 512, 512, 512, 16
     else:  # CPU smoke: tiny interpret-mode run so the script always works
         tile, B, NP, MP, ncall = 8, 8, 128, 128, 1
 
@@ -47,23 +47,28 @@ def main():
 
     @jax.jit
     def chain(S):
-        def body(S, _):
+        def body(nmt, _):
+            nt_c, mt_c = nmt
             tb, stats = pallas_dp.fill_tiled(
-                S, nt, mt, mode=LOCAL, og=-10.0, eg=-0.5,
+                S, nt_c, mt_c, mode=LOCAL, og=-10.0, eg=-0.5,
                 interpret=not on_tpu,
             )
-            # serialize: next iteration's input depends on this one's output
-            bump = (stats[0, 0, 0] * 0.0).astype(jnp.int8)
-            return S + bump, stats[0, 0, 0]
-        S, scores = jax.lax.scan(body, S, None, length=ncall)
+            # serialize through the tiny length arrays: next iteration
+            # depends on this one's output without copying S
+            bump = (stats[0, 0, 0] * 0.0).astype(jnp.int32)
+            return (nt_c + bump, mt_c + bump), stats[0, 0, 0]
+        _, scores = jax.lax.scan(body, (nt, mt), None, length=ncall)
         return scores
 
     r = chain(S0)
     jax.block_until_ready(r)  # compile + warm
-    t0 = time.time()
-    r = chain(S0)
-    jax.block_until_ready(r)
-    dt = (time.time() - t0) / ncall
+    dt = None
+    for _ in range(3):  # best of 3 chains (tunnel dispatch jitter)
+        t0 = time.time()
+        r = chain(S0)
+        jax.block_until_ready(r)
+        d = (time.time() - t0) / ncall
+        dt = d if dt is None else min(dt, d)
 
     cells = B * NP * MP
     gcups = cells / dt / 1e9

@@ -37,6 +37,16 @@ is enforced by tests/test_pallas_kernel.py.
 Layout: callers pass S (and receive tb) as ``(G, NP, TBP, MP)`` where
 ``B = G*TBP`` pairs — each row slab ``(TBP, MP)`` is then a native
 (sublane, lane) tile, so the row loop never re-lays-out data.
+
+Performance notes (measured, v5e, 512 pairs of 512x512): ~24 GCUPS with
+traceback, ~29 score-only at tile=128.  Ablations show the limiter is VMEM
+traffic for the inter-row carry state (the M/X/Y rows plus intermediates;
+eliminating the dependency entirely measures ~61 GCUPS), not the
+elementwise op count (removing the 9-step cummax or the pointer cascades
+barely moves the time) and not the argmax arrays (GLOBAL == LOCAL speed).
+Next lever: an exact x2-integer int16 domain for the carries (halves the
+bytes; valid while 2*|score| < 32768, i.e. buckets <= ~1.4k rows for
+BLOSUM62), falling back to f32 for longer buckets.
 """
 
 from __future__ import annotations
@@ -188,12 +198,14 @@ def _kernel(
         else:
             acc[:, :] = jnp.zeros((tbp, STATS_W), jnp.float32)
 
-    def row_step(r, _):
+    def one_row(r, Mp, Xp, Yp, rbv, rbi, accv):
+        """One DP row entirely in registers: consumes the previous row's
+        (M, X, Y) values, returns this row's — scratch is only touched at
+        row-group boundaries (VMEM carry traffic was the kernel's main
+        cost, ~half the runtime at tile=128)."""
         i = i0 + rb * rb_rows + r + 1  # 1-based global row
         fi = jnp.float32(i)
         srow = s_ref[0, r, :, :].astype(jnp.float32)
-
-        Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
 
         # boundary values at (i-1, 0) / (i, 0) (rs:88-93,109-117)
         lsc_im1 = (fi - 1.0) * se + (so - se)
@@ -298,11 +310,11 @@ def _kernel(
             in_range = valid_j & (i <= nvec)
             masked = jnp.where(in_range, val_m, NEG)
             if not track_arg:
-                runbest[:, :] = jnp.maximum(runbest[:, :], masked)
+                rbv = jnp.maximum(rbv, masked)
             else:
-                upd = masked > runbest[:, :]
-                runbest[:, :] = jnp.where(upd, masked, runbest[:, :])
-                runbest_i[:, :] = jnp.where(upd, i, runbest_i[:, :])
+                upd = masked > rbv
+                rbv = jnp.where(upd, masked, rbv)
+                rbi = jnp.where(upd, i, rbi)
         else:
             # capture (M, X, Y) at (n, m) the row each pair's n is reached
             take = (i == nvec) & (jl + 1 == mvec)  # (TBP, MP)
@@ -311,16 +323,40 @@ def _kernel(
             fx = jnp.sum(jnp.where(take, val_x, 0.0), axis=1, keepdims=True)
             fy = jnp.sum(jnp.where(take, val_y, 0.0), axis=1, keepdims=True)
             pad = jnp.zeros((tbp, STATS_W - 6), jnp.float32)
-            acc[:, :] = acc[:, :] + jnp.concatenate(
+            accv = accv + jnp.concatenate(
                 [zero, zero, zero, fm, fx, fy, pad], axis=1
             )
+        return val_m, val_x, val_y, rbv, rbi, accv
 
-        cm[:, :] = val_m
-        cx[:, :] = val_x
-        cy[:, :] = val_y
+    # rows chained in registers per loop iteration; scratch touched once
+    # per group
+    R = 4 if rb_rows % 4 == 0 else (2 if rb_rows % 2 == 0 else 1)
+
+    def group_step(g, _):
+        Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
+        if mode == LOCAL:
+            rbv = runbest[:, :]
+            rbi = runbest_i[:, :] if track_arg else None
+            accv = None
+        else:
+            rbv = rbi = None
+            accv = acc[:, :]
+        for q in range(R):
+            Mp, Xp, Yp, rbv, rbi, accv = one_row(
+                g * R + q, Mp, Xp, Yp, rbv, rbi, accv
+            )
+        cm[:, :] = Mp
+        cx[:, :] = Xp
+        cy[:, :] = Yp
+        if mode == LOCAL:
+            runbest[:, :] = rbv
+            if track_arg:
+                runbest_i[:, :] = rbi
+        else:
+            acc[:, :] = accv
         return 0
 
-    jax.lax.fori_loop(0, rb_rows, row_step, 0, unroll=False)
+    jax.lax.fori_loop(0, rb_rows // R, group_step, 0, unroll=False)
 
     if ckpt:
         # the block index map folds several row blocks onto one checkpoint
