@@ -20,7 +20,6 @@ import numpy as np
 
 from .config import (
     GLOBAL,
-    GLOCAL,
     LOCAL,
     AlignConfig,
     CELL_MATCH,

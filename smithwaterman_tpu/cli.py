@@ -19,7 +19,7 @@ Alignment batches run through BatchAligner (bucketed, Pallas on TPU).
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, TextIO, Tuple
 
 from .batch_aligner import BatchAligner

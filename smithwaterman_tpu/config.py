@@ -7,7 +7,7 @@ we expose them in one dataclass together with TPU-side execution knobs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 # Alignment modes (semantics parity: sequence_alignment.rs:11-13)

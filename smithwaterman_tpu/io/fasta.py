@@ -16,7 +16,7 @@ validated by the reference's ``sw_fastaloadtest`` fixture
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterable, List
 
 __all__ = ["SeqData", "load_fasta", "parse_fasta", "write_fasta"]

@@ -21,7 +21,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..config import CELL_GAPINX, CELL_GAPINY, CELL_MATCH, CELL_STOP, LOCAL
+from ..config import CELL_GAPINX, CELL_GAPINY, CELL_MATCH, CELL_STOP
 
 _LIB = None
 _LIB_TRIED = False

@@ -1,8 +1,8 @@
 """CLI surface + clustering behavior (parity: sa_opencl/src/main.rs)."""
 
 import os
-import subprocess
-import sys
+
+
 
 import pytest
 
