@@ -1,0 +1,494 @@
+"""Banded DP fill: restrict the matrix to a diagonal band of width W.
+
+The speed knob for very long, similar sequences (BASELINE config: "Banded
+SW on long sequences (10k+ residues)"): per-row work drops from O(m) to
+O(W).  The band follows the main diagonal with per-row offsets
+``off(i)`` (monotone, steps of 0 or 1); cells outside the band are treated
+as -inf, so results equal the full DP whenever the optimal path stays
+inside the band — the walker raises ``BandExceeded`` if a traceback ever
+touches the band edge, so callers can retry with a wider band (or fall
+back to the exact full fill).
+
+Kernel layout mirrors ops/pallas_dp.py: band lanes on the 128-lane axis,
+the (single) pair padded onto the 8-sublane axis, rows sequential with the
+same exact cell rules and the max-plus prefix scan — H is normalized with
+*global* column indices so the in-band scan equals the full scan whenever
+out-of-band cells cannot win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CELL_GAPINX, CELL_GAPINY, CELL_MATCH, CELL_STOP, GLOBAL, GLOCAL, LOCAL
+
+NEG = -1.0e30
+BIGI = 2**30
+TBP = 8  # sublane padding (single-pair kernel)
+STATS_W = 8
+
+
+class BandExceeded(RuntimeError):
+    """The optimal path touched the band edge; rerun wider or unbanded."""
+
+
+def band_offsets(n: int, m: int, W: int) -> np.ndarray:
+    """Monotone per-row band offsets with steps in {0, 1}:
+    off(i) ≈ i * (m - W) / n, clamped; requires W >= m - n."""
+    if W >= m:
+        return np.zeros(n + 1, np.int32)
+    if W < m - n:
+        raise ValueError(f"band {W} cannot reach column {m} with {n} rows")
+    i = np.arange(n + 1, dtype=np.int64)
+    off = (i * (m - W)) // max(n, 1)
+    return np.clip(off, 0, m - W).astype(np.int32)
+
+
+def _kernel(
+    nm_ref,     # (1, 4) i32 SMEM: [n, m, 0, 0]
+    s_ref,      # (RB, TBP, W) f32 VMEM block
+    tb_ref,     # (RB, TBP, W) uint8 VMEM block
+    stats_ref,  # (TBP, STATS_W) f32 VMEM
+    cm, cx, cy, runbest, runbest_i,  # (TBP, W) scratch
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    rb_rows: int,
+    W: int,
+    n_row_blocks: int,
+):
+    rb = pl.program_id(0)
+    if mode == GLOBAL:
+        so, se = og, eg
+    else:
+        so, se = 0.0, 0.0
+    sent = 10.0 * og + 10.0 * eg
+    nn = nm_ref[0, 0]
+    mm = nm_ref[0, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TBP, W), 1)
+    # band offsets computed arithmetically (must match band_offsets());
+    # i32 products stay in range for n*m < 2^31 (guarded in align_banded)
+    num = jnp.maximum(mm - W, 0)
+    den = jnp.maximum(nn, 1)
+
+    def off_of(ii):
+        return jnp.clip((ii * num) // den, 0, num)
+
+    @pl.when(rb == 0)
+    def _init():
+        # row 0 carries for band columns j = off(1?)=0.. — row 0 always has
+        # off 0 cells j = lane+1 when the band starts at 0; out-of-band row-0
+        # lanes never influence valid cells (off is monotone)
+        jf1 = (lane + 1).astype(jnp.float32)
+        lsc = jf1 * se + (so - se)
+        cm[:, :] = lsc + sent
+        cx[:, :] = lsc
+        cy[:, :] = lsc + sent
+        runbest[:, :] = jnp.full((TBP, W), NEG, jnp.float32)
+        runbest_i[:, :] = jnp.full((TBP, W), BIGI, jnp.int32)
+
+    def sh_r(v, fill):
+        pad = jnp.broadcast_to(fill, (TBP, 1)).astype(v.dtype)
+        return jnp.concatenate([pad, v[:, :-1]], axis=1)
+
+    def sh_l(v, fill):
+        pad = jnp.broadcast_to(fill, (TBP, 1)).astype(v.dtype)
+        return jnp.concatenate([v[:, 1:], pad], axis=1)
+
+    def row_step(r, _):
+        i = rb * rb_rows + r + 1
+        fi = jnp.float32(i)
+        off = off_of(jnp.minimum(i, nn))
+        dlt = off - off_of(jnp.minimum(i - 1, nn))
+        srow = s_ref[r, :, :]
+        jg = off + lane + 1  # global column of each band lane
+        jgf = jg.astype(jnp.float32)
+
+        lsc_im1 = (fi - 1.0) * se + (so - se)
+        lsc_i = fi * se + (so - se)
+        at_first = i == 1
+        # the j=0 boundary enters through the left fill only when off == 0
+        at_j0 = off == 0
+        fill_m = jnp.where(
+            at_j0, jnp.where(at_first, 0.0, lsc_im1 + sent), NEG
+        )
+        fill_x = jnp.where(
+            at_j0, jnp.where(at_first, -1.0, lsc_im1 + sent), NEG
+        )
+        fill_y = jnp.where(at_j0, jnp.where(at_first, -1.0, lsc_im1), NEG)
+
+        Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
+        # diag (i-1, j-1): band coord w + dlt - 1
+        d1m = jnp.where(dlt == 1, Mp, sh_r(Mp, fill_m))
+        d1x = jnp.where(dlt == 1, Xp, sh_r(Xp, fill_x))
+        d1y = jnp.where(dlt == 1, Yp, sh_r(Yp, fill_y))
+        # up (i-1, j): band coord w + dlt
+        upm = jnp.where(dlt == 1, sh_l(Mp, NEG), Mp)
+        upx = jnp.where(dlt == 1, sh_l(Xp, NEG), Xp)
+        upy = jnp.where(dlt == 1, sh_l(Yp, NEG), Yp)
+        # when off == 0 and dlt == 0, lane 0's up-neighbor is in-band; when
+        # off > 0 left of band is -inf — handled by fills above for diag; the
+        # up values at lane 0 with dlt == 1 fall off the right edge instead.
+
+        val_m = jnp.maximum(jnp.maximum(d1m, d1x), d1y) + srow
+        m_ge_x = d1m >= d1x
+        m_ge_y = d1m >= d1y
+        x_ge_y = d1x >= d1y
+        prev_m = jnp.where(
+            m_ge_x, jnp.where(m_ge_y, 0, 2), jnp.where(x_ge_y, 1, 2)
+        )
+
+        if mode == GLOCAL:
+            last_col = jg == mm
+            qo = jnp.where(last_col, so, og)
+            qe = jnp.where(last_col, se, eg)
+        else:
+            qo, qe = og, eg
+
+        if mode == LOCAL:
+            c1 = upm + og >= upy + eg
+            c2 = upm > upx
+            c3 = upy + eg > upx + og
+            val_y = jnp.where(
+                c1,
+                jnp.where(c2, upm + og, upx + og),
+                jnp.where(c3, upy + eg, upx + og),
+            )
+        else:
+            c1 = upm + qo > upy + qe
+            c2 = upm >= upx
+            c3 = upy + qe >= upx + qo
+            val_y = jnp.maximum(jnp.maximum(upm + qo, upy + qe), upx + qo)
+        prev_y = jnp.where(c1, jnp.where(c2, 0, 1), jnp.where(c3, 2, 1))
+
+        if mode == LOCAL:
+            val_m = jnp.maximum(val_m, 0.0)
+            val_y = jnp.maximum(val_y, 0.0)
+
+        if mode == GLOCAL:
+            lr = i == nn
+            po = jnp.where(lr, so, og)
+            pe = jnp.where(lr, se, eg)
+        else:
+            po, pe = og, eg
+
+        x0b = lsc_i + sent
+        g0 = jnp.where(at_j0, lsc_i + po, NEG)
+        gline = jnp.maximum(val_m, val_y) + po
+        hraw = sh_r(gline, g0)
+        h = hraw - (jgf - 1.0) * pe
+        h = jnp.where(
+            (jg == 1), jnp.maximum(h, x0b + pe), h
+        )
+        sh = 1
+        c = h
+        while sh < W:
+            shifted = jnp.concatenate(
+                [jnp.full((TBP, sh), NEG, c.dtype), c[:, :-sh]], axis=1
+            )
+            c = jnp.maximum(c, shifted)
+            sh *= 2
+        val_x = c + (jgf - 1.0) * pe
+        if mode == LOCAL:
+            val_x = jnp.maximum(val_x, 0.0)
+
+        Mm1 = sh_r(val_m, jnp.where(at_j0, lsc_i + sent, NEG))
+        Xm1 = sh_r(val_x, jnp.where(at_j0, x0b, NEG))
+        Ym1 = sh_r(val_y, jnp.where(at_j0, lsc_i, NEG))
+        if mode == LOCAL:
+            e1 = Mm1 + og >= Xm1 + eg
+            e2 = Mm1 > Ym1
+            e3 = Xm1 + eg > Ym1 + og
+        else:
+            e1 = Mm1 + po > Xm1 + pe
+            e2 = Mm1 >= Ym1
+            e3 = Xm1 + pe >= Ym1 + po
+        prev_x = jnp.where(e1, jnp.where(e2, 0, 2), jnp.where(e3, 1, 2))
+
+        if mode == LOCAL:
+            prev_m = jnp.where(val_m == 0.0, CELL_STOP, prev_m)
+            prev_x = jnp.where(val_x == 0.0, CELL_STOP, prev_x)
+            prev_y = jnp.where(val_y == 0.0, CELL_STOP, prev_y)
+
+        tb_ref[r, :, :] = (
+            prev_m | (prev_x << 2) | (prev_y << 4)
+        ).astype(jnp.uint8)
+
+        if mode == LOCAL:
+            in_range = (jg <= mm) & (i <= nn)
+            masked = jnp.where(in_range, val_m, NEG)
+            upd = masked > runbest[:, :]
+            runbest[:, :] = jnp.where(upd, masked, runbest[:, :])
+            runbest_i[:, :] = jnp.where(upd, i, runbest_i[:, :])
+        else:
+            take = (i == nn) & (jg == mm)
+            fm = jnp.sum(jnp.where(take, val_m, 0.0), axis=1, keepdims=True)
+            fx = jnp.sum(jnp.where(take, val_x, 0.0), axis=1, keepdims=True)
+            fy = jnp.sum(jnp.where(take, val_y, 0.0), axis=1, keepdims=True)
+            z = jnp.zeros((TBP, 1), jnp.float32)
+            pad = jnp.zeros((TBP, STATS_W - 6), jnp.float32)
+            stats_ref[:, :] = jnp.where(
+                jnp.any(take),
+                jnp.concatenate([z, z, z, fm, fx, fy, pad], axis=1),
+                stats_ref[:, :],
+            )
+
+        cm[:, :] = val_m
+        cx[:, :] = val_x
+        cy[:, :] = val_y
+        return 0
+
+    @pl.when(rb == 0)
+    def _zero_stats():
+        stats_ref[:, :] = jnp.zeros((TBP, STATS_W), jnp.float32)
+
+    jax.lax.fori_loop(0, rb_rows, row_step, 0, unroll=False)
+
+    @pl.when(rb == n_row_blocks - 1)
+    def _finish():
+        if mode == LOCAL:
+            gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)
+            cand = runbest[:, :] == gmax
+            ci = jnp.where(cand, runbest_i[:, :], BIGI)
+            min_i = jnp.min(ci, axis=1, keepdims=True)
+            cw = jnp.where(cand & (runbest_i[:, :] == min_i), lane, BIGI)
+            min_w = jnp.min(cw, axis=1, keepdims=True)
+            zeros = jnp.zeros((TBP, STATS_W - 3), jnp.float32)
+            stats_ref[:, :] = jnp.concatenate(
+                [gmax, min_i.astype(jnp.float32), min_w.astype(jnp.float32), zeros],
+                axis=1,
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "og", "eg", "interpret")
+)
+def fill_banded(
+    S_band,  # (NP, TBP, W) f32 — banded substitution scores, one real pair
+    nm,      # (1, 4) i32 — [n, m, 0, 0]
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    interpret: bool = False,
+):
+    NP, tbp, W = S_band.shape
+    assert tbp == TBP
+    rb_rows = max(8, min(NP, (1 << 20) // max(1, TBP * W * 4)))
+    rb_rows = 1 << (rb_rows.bit_length() - 1)
+    rb_rows = min(rb_rows, NP)
+    while NP % rb_rows:
+        rb_rows //= 2
+    n_row_blocks = NP // rb_rows
+
+    kernel = functools.partial(
+        _kernel, mode=mode, og=og, eg=eg, rb_rows=rb_rows, W=W,
+        n_row_blocks=n_row_blocks,
+    )
+    grid = (n_row_blocks,)
+    tb, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda rb: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb_rows, TBP, W), lambda rb: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((NP, TBP, W), jnp.uint8),
+            jax.ShapeDtypeStruct((TBP, STATS_W), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((rb_rows, TBP, W), lambda rb: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBP, STATS_W), lambda rb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TBP, W), jnp.float32),
+            pltpu.VMEM((TBP, W), jnp.float32),
+            pltpu.VMEM((TBP, W), jnp.float32),
+            pltpu.VMEM((TBP, W), jnp.float32),
+            pltpu.VMEM((TBP, W), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(nm, S_band)
+    return tb, stats
+
+
+def walk_banded(
+    tb: np.ndarray,   # (NP, W) uint8 for the real pair
+    off: np.ndarray,  # (NP + 1,) int
+    si: int,
+    sj: int,
+    state: int,
+    local: bool,
+    W: int,
+    m: int,
+) -> Tuple[List[int], List[int], bool]:
+    """Pointer walk in band coordinates.  Raises BandExceeded if the path
+    reads outside the band (corrupt fill); additionally returns
+    ``edge_touched`` — True when the path visited a band-edge lane at a
+    cell where out-of-band alternatives geometrically exist, i.e. the band
+    may have constrained the result (banded alignment is a heuristic:
+    results equal the full DP only when the optimal path fits the band)."""
+    r1: List[int] = []
+    r2: List[int] = []
+    edge_touched = False
+    i, j, s = int(si), int(sj), int(state)
+    while True:
+        if i >= 1 and j >= 1:
+            w = j - 1 - int(off[i])
+            if w < 0 or w >= W:
+                raise BandExceeded(f"path left band at ({i},{j})")
+            if (w == 0 and j > 1) or (w == W - 1 and j < m):
+                edge_touched = True
+            prev = (int(tb[i - 1, w]) >> (2 * s)) & 3
+        elif i == 0 and j == 0:
+            prev = CELL_STOP if (local and s == CELL_MATCH) else CELL_MATCH
+        elif i == 0:
+            prev = CELL_STOP if (local and s == CELL_GAPINX) else CELL_GAPINX
+        else:
+            prev = CELL_STOP if (local and s == CELL_GAPINY) else CELL_GAPINY
+        if local and prev == CELL_STOP:
+            break
+        if s == CELL_MATCH:
+            r1.append(i - 1)
+            r2.append(j - 1)
+            i -= 1
+            j -= 1
+        elif s == CELL_GAPINX:
+            r1.append(-1)
+            r2.append(j - 1)
+            j -= 1
+        elif s == CELL_GAPINY:
+            r1.append(i - 1)
+            r2.append(-1)
+            i -= 1
+        else:  # pragma: no cover
+            raise RuntimeError(f"invalid state {s} at ({i},{j})")
+        if i == 0 and j == 0:
+            break
+        s = prev
+    r1.reverse()
+    r2.reverse()
+    return r1, r2, edge_touched
+
+
+def align_banded(
+    codes1: np.ndarray,
+    codes2: np.ndarray,
+    table: np.ndarray,
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    band: int,
+    interpret: bool = False,
+):
+    """Banded alignment of ONE pair.  Returns (idx1, idx2, score,
+    edge_touched).
+
+    ``edge_touched`` True means the in-band-optimal path pressed against
+    the band edge, so the result may differ from the full DP — widen the
+    band or fall back to the exact fill.  (Banded DP is inherently a
+    heuristic; it equals the full DP exactly when the optimal path fits.)
+    """
+    n, m = len(codes1), len(codes2)
+    W = -(-max(band, m - n + 128) // 128) * 128
+    if W >= m:
+        W = -(-m // 128) * 128
+    NP = -(-n // 8) * 8
+    c1 = np.zeros(NP + 1, np.int32)
+    c1[1 : n + 1] = codes1
+    off_full = band_offsets(n, m, W)
+    off = np.zeros(NP + 1, np.int32)
+    off[: n + 1] = off_full
+    off[n + 1 :] = off_full[-1]
+    dlt = np.zeros(NP + 1, np.int32)
+    dlt[1:] = off[1:] - off[:-1]
+    assert dlt.max() <= 1, "band slope must be <= 1"
+
+    # banded substitution scores: S[i-1, w] = table[c1[i], c2[off(i)+w]]
+    cols = off[1 : NP + 1, None] + np.arange(W)[None, :]
+    cols_c = np.clip(cols, 0, max(m - 1, 0))
+    c2pad = np.asarray(codes2, np.int32)
+    S = table[c1[1 : NP + 1, None], c2pad[cols_c]].astype(np.float32)
+    S[cols >= m] = 0.0
+    S_band = np.broadcast_to(S[:, None, :], (NP, TBP, W)).copy()
+
+    if n * max(m - W, 0) >= 2**31:
+        raise ValueError("banded offsets exceed int32 range; reduce sizes")
+    nm = np.array([[n, m, 0, 0]], np.int32)
+    tb, stats = fill_banded(
+        jnp.asarray(S_band),
+        jnp.asarray(nm),
+        mode=mode,
+        og=og,
+        eg=eg,
+        interpret=interpret,
+    )
+    tb_np = np.asarray(tb)[:, 0, :]
+    stats_np = np.asarray(stats)[0]
+
+    if mode == LOCAL:
+        best = float(stats_np[0])
+        if best <= 0.0:
+            return [], [], 0.0, False
+        bi = int(stats_np[1])
+        bw = int(stats_np[2])
+        bj = int(off[bi]) + bw + 1
+        idx1, idx2, edge = walk_banded(tb_np, off, bi, bj, CELL_MATCH, True, W, m)
+        return idx1, idx2, best, edge
+    fin = stats_np[3:6]
+    state = int(np.argmax(fin))
+    idx1, idx2, edge = walk_banded(tb_np, off, n, m, state, False, W, m)
+    return idx1, idx2, float(fin[state]), edge
+
+
+def align_banded_verified(
+    codes1: np.ndarray,
+    codes2: np.ndarray,
+    table: np.ndarray,
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    band: int,
+    max_band: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Double-band verification: run at W and 2W and accept when the scores
+    agree (the standard guard for banded DP — a band-constrained optimum
+    almost surely improves when the band doubles); otherwise keep widening
+    until agreement or the band covers the matrix (then the result is the
+    exact full DP).  Returns (idx1, idx2, score, band_used)."""
+    m = len(codes2)
+    cap = max_band or m
+    W = band
+    prev = align_banded(
+        codes1, codes2, table, mode=mode, og=og, eg=eg, band=W,
+        interpret=interpret,
+    )
+    while W < cap and W < m:
+        W2 = min(2 * W, max(cap, W + 1))
+        cur = align_banded(
+            codes1, codes2, table, mode=mode, og=og, eg=eg, band=W2,
+            interpret=interpret,
+        )
+        if cur[2] == prev[2] and not cur[3]:
+            return cur[0], cur[1], cur[2], W2
+        prev = cur
+        W = W2
+    return prev[0], prev[1], prev[2], W

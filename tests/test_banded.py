@@ -1,0 +1,101 @@
+"""Banded fill: exact vs the full DP when the band covers the matrix/path;
+clean BandExceeded signal when the path leaves the band."""
+
+import numpy as np
+import pytest
+
+from smithwaterman_tpu.config import CELL_MATCH, GLOBAL, GLOCAL, LOCAL
+from smithwaterman_tpu.matrices import SubstitutionMatrix
+from smithwaterman_tpu.ops import banded, batch, traceback
+
+RNG = np.random.default_rng(31)
+OG, EG = -10.0, -0.5
+SM = SubstitutionMatrix.blosum62()
+
+
+def _ref(codes1, codes2, mode):
+    S = SM.dense_scores(codes1, codes2)[None].astype(np.float32)
+    n = np.array([len(codes1)], np.int32)
+    m = np.array([len(codes2)], np.int32)
+    return batch.fill_scan(S, n, m, mode=mode, og=OG, eg=EG)
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_full_width_band_exact(mode):
+    """Band covering the whole matrix == the exact DP, path included."""
+    codes1 = RNG.integers(0, 24, size=77).astype(np.int32)
+    codes2 = RNG.integers(0, 24, size=90).astype(np.int32)
+    idx1, idx2, score, edge = banded.align_banded(
+        codes1, codes2, SM.table, mode=mode, og=OG, eg=EG, band=512,
+        interpret=True,
+    )
+    assert not edge
+    ref = _ref(codes1, codes2, mode)
+    tbv = np.asarray(ref.tb[0])
+    if mode == LOCAL:
+        assert score == pytest.approx(float(ref.best[0]))
+        want = traceback.walk(
+            tbv, int(ref.best_i[0]), int(ref.best_j[0]), CELL_MATCH, True
+        )
+    else:
+        assert score == pytest.approx(float(ref.final[0][int(ref.final_state[0])]))
+        want = traceback.walk(tbv, 77, 90, int(ref.final_state[0]), False)
+    assert (idx1, idx2) == want
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL])
+def test_narrow_band_similar_sequences(mode):
+    """Similar sequences: a narrow band reproduces the full-DP result."""
+    base = RNG.integers(0, 20, size=600).astype(np.int32)
+    codes1 = base.copy()
+    codes2 = base.copy()
+    codes2[100] = (codes2[100] + 1) % 20        # mismatch
+    codes2 = np.delete(codes2, slice(300, 303))  # small gap
+    idx1, idx2, score, edge = banded.align_banded(
+        codes1, codes2, SM.table, mode=mode, og=OG, eg=EG, band=128,
+        interpret=True,
+    )
+    ref = _ref(codes1, codes2, mode)
+    tbv = np.asarray(ref.tb[0])
+    if mode == LOCAL:
+        assert score == pytest.approx(float(ref.best[0]))
+        want = traceback.walk(
+            tbv, int(ref.best_i[0]), int(ref.best_j[0]), CELL_MATCH, True
+        )
+    else:
+        assert score == pytest.approx(float(ref.final[0][int(ref.final_state[0])]))
+        want = traceback.walk(
+            tbv, len(codes1), len(codes2), int(ref.final_state[0]), False
+        )
+    assert (idx1, idx2) == want
+
+
+def test_band_constrained_flagged():
+    """A path needing a detour wider than the band is flagged (banded DP is
+    a heuristic: the score differs from the full DP and edge_touched warns
+    the caller to widen or fall back)."""
+    # equal lengths (so the band stays narrow), but the alignment needs a
+    # ~200-column detour: seq2 = 200 junk then seq1's first 400 residues
+    a = RNG.integers(0, 20, size=600).astype(np.int32)
+    junk = ((a[:200] + 7) % 20).astype(np.int32)
+    codes1 = a
+    codes2 = np.concatenate([junk, a[:400]]).astype(np.int32)
+    idx1, idx2, score, edge = banded.align_banded(
+        codes1, codes2, SM.table, mode=GLOCAL, og=OG, eg=EG, band=128,
+        interpret=True,
+    )
+    ref = _ref(codes1, codes2, GLOCAL)
+    full = float(ref.final[0][int(ref.final_state[0])])
+    assert score < full  # the narrow band constrained the result (heuristic)
+
+    # double-band verification recovers the exact result automatically
+    i1, i2, vscore, used = banded.align_banded_verified(
+        codes1, codes2, SM.table, mode=GLOCAL, og=OG, eg=EG, band=128,
+        interpret=True,
+    )
+    assert vscore == pytest.approx(full)
+    want = traceback.walk(
+        np.asarray(ref.tb[0]), len(codes1), len(codes2),
+        int(ref.final_state[0]), False,
+    )
+    assert (i1, i2) == want
