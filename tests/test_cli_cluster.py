@@ -180,3 +180,18 @@ def test_matrix_file_flag(tmp_path, capsys):
     main(["-local", "-matrix", str(mat), str(f1), str(f2)])
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "#score:27"
+
+
+def test_out_file_quirk(tmp_path):
+    """-out file output replicates the reference's missing newlines after
+    #score/#type (main.rs:303-306 write_all vs :309-312 println)."""
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(">s1\nWWW\n")
+    f2.write_text(">s2\nWWW\n")
+    lst = tmp_path / "l.txt"
+    lst.write_text(f"{f1}\t{f2}\n")
+    out = tmp_path / "res.txt"
+    main(["-local", "-list", str(lst), "-out", str(out)])
+    txt = out.read_text()
+    assert txt.startswith("#score:33#type:Local alignment>s1\n")
