@@ -175,6 +175,28 @@ class Aligner:
     def align(self, s1, s2, retain_all: bool = True) -> AlignResult:
         return self.align_partial(s1, s2, retain_all, None, False)
 
+    def align_fasta(self, text1: str, text2: str, retain_all: bool = True) -> AlignResult:
+        """Align the first records of two raw FASTA texts (parity with the
+        Java engine's ``align(String, String)`` overload,
+        SmithWaterman.java:41-66)."""
+        from .io.fasta import parse_fasta
+
+        r1 = parse_fasta(text1.splitlines())
+        r2 = parse_fasta(text2.splitlines())
+        s1 = r1[0] if r1 else SeqData("", "", text1.strip())
+        s2 = r2[0] if r2 else SeqData("", "", text2.strip())
+        return self.align(s1, s2, retain_all)
+
+    def align_files(self, path1: str, path2: str, retain_all: bool = True):
+        """All-vs-all over two FASTA files (parity with the Python engine's
+        ``alignFile``, smithwaterman.py:79-87); yields
+        (record1, record2, AlignResult)."""
+        from .io.fasta import load_fasta
+
+        for s1 in load_fasta(path1):
+            for s2 in load_fasta(path2):
+                yield s1, s2, self.align(s1, s2, retain_all)
+
     def score(self, s1, s2) -> float:
         return self.align_partial(s1, s2, True, None, True).score
 

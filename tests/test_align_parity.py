@@ -129,3 +129,27 @@ def test_empty_sequences():
     gl = Aligner(mode=GLOCAL)
     rgl = gl.align("AA", "", True)
     assert rgl.score == 0.0
+
+
+def test_align_fasta_text_overload():
+    """Raw FASTA text accepted directly (Java align(String,String) parity,
+    SmithWaterman.java:41-66)."""
+    a = Aligner(mode=LOCAL)
+    r = a.align_fasta(">q desc\nHEAGAW\nGHEE\n", ">t\nPAWHEAE\n")
+    w = a.align("HEAGAWGHEE", "PAWHEAE")
+    assert (r.score, r.aligned1, r.aligned2) == (w.score, w.aligned1, w.aligned2)
+    # plain sequence text (no header) also works
+    r2 = a.align_fasta("HEAGAWGHEE", "PAWHEAE")
+    assert r2.score == w.score
+
+
+def test_align_files(tmp_path):
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(">x\nHEAGAWGHEE\n>y\nWWW\n")
+    f2.write_text(">z\nPAWHEAE\n")
+    a = Aligner(mode=LOCAL)
+    out = list(a.align_files(str(f1), str(f2)))
+    assert len(out) == 2
+    assert out[0][0].name == "x" and out[0][1].name == "z"
+    assert out[0][2].score == a.align("HEAGAWGHEE", "PAWHEAE").score
