@@ -47,3 +47,13 @@ def test_stats_collector():
     assert s["device_seconds"] > 0
     assert 0 <= s["padding_waste"] < 1
     json.dumps(s)  # serializable
+
+
+def test_match_line_and_format():
+    from smithwaterman_tpu.utils.display import format_alignment, match_line
+
+    a1 = "HEAG-AW"
+    a2 = "HE-GGAW"
+    assert match_line(a1, a2) == ":: : ::"
+    out = format_alignment(a1, a2, width=4)
+    assert out.split("\n\n")[0] == "HEAG\n:: :\nHE-G"
