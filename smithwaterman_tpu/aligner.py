@@ -187,6 +187,46 @@ class Aligner:
         s2 = r2[0] if r2 else SeqData("", "", text2.strip())
         return self.align(s1, s2, retain_all)
 
+    def align_banded(
+        self,
+        s1,
+        s2,
+        band: int = 512,
+        retain_all: bool = True,
+        verified: bool = True,
+    ) -> AlignResult:
+        """Diagonal-banded alignment (O(band) work per row) for long,
+        similar sequences.  With ``verified`` (default) the band widens
+        until two widths agree — the standard banded-DP guard; without it
+        the result is the in-band optimum (a heuristic).  See
+        ops/banded.py."""
+        from .ops import banded as banded_ops
+
+        s1 = _as_seqdata(s1)
+        s2 = _as_seqdata(s2)
+        codes1 = self.scoring_matrix.seq_to_index(s1.seq)
+        codes2 = self.scoring_matrix.seq_to_index(s2.seq)
+        if len(codes1) == 0 or len(codes2) == 0:
+            return self._degenerate(
+                s1, s2, len(codes1), len(codes2), retain_all, False
+            )
+        import jax
+        import numpy as np
+
+        interpret = jax.default_backend() != "tpu"
+        table = np.asarray(self.scoring_matrix.table, np.float32)
+        fn = (
+            banded_ops.align_banded_verified if verified else banded_ops.align_banded
+        )
+        idx1, idx2, score, _ = fn(
+            codes1, codes2, table, mode=self.mode,
+            og=self.config.og, eg=self.config.eg, band=band,
+            interpret=interpret,
+        )
+        return reconstruct_alignment(
+            s1.seq, s2.seq, idx1, idx2, score, retain_all, self.mode
+        )
+
     def align_files(self, path1: str, path2: str, retain_all: bool = True):
         """All-vs-all over two FASTA files (parity with the Python engine's
         ``alignFile``, smithwaterman.py:79-87); yields

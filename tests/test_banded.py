@@ -99,3 +99,21 @@ def test_band_constrained_flagged():
         int(ref.final_state[0]), False,
     )
     assert (i1, i2) == want
+
+
+def test_aligner_banded_api():
+    """Aligner.align_banded: strings + score equal the exact engine when
+    the band suffices."""
+    from smithwaterman_tpu import Aligner, LOCAL as L
+
+    rng = np.random.default_rng(8)
+    letters = "ACDEFGHIKLMNPQRSTVWY"
+    s1 = "".join(letters[i] for i in rng.integers(0, 20, 300))
+    l = list(s1)
+    l[50] = "W"
+    del l[200:203]
+    s2 = "".join(l)
+    a = Aligner(mode=L)
+    rb = a.align_banded(s1, s2, band=128)
+    rf = a.align(s1, s2)
+    assert (rb.score, rb.aligned1, rb.aligned2) == (rf.score, rf.aligned1, rf.aligned2)

@@ -1,0 +1,73 @@
+"""Differential fuzzing against the reference's own Python implementation.
+
+Runs /root/reference/smithwaterman.py as a subprocess oracle on random
+pairs and demands identical local-mode scores and (terminal-trimmed)
+alignment strings — an independent check beyond the fixed golden suites.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from smithwaterman_tpu import Aligner, LOCAL
+from smithwaterman_tpu.utils.oracle import trim_terminal
+
+REF = "/root/reference/smithwaterman.py"
+
+if not os.path.exists(REF):
+    pytest.skip("reference unavailable", allow_module_level=True)
+
+LETTERS = "ACDEFGHIKLMNPQRSTVWY"
+RNG = np.random.default_rng(2024)
+
+
+def _ref_align(tmp_path, s1, s2):
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(f">s1\n{s1}\n")
+    f2.write_text(f">s2\n{s2}\n")
+    out = subprocess.run(
+        [sys.executable, REF, str(f1), str(f2)],
+        capture_output=True, text=True, timeout=120,
+    )
+    lines = out.stdout.splitlines()
+    score = float(lines[0].split(":")[1])
+    a1 = lines[1].split(" ", 1)[1]
+    a2 = lines[2].split(" ", 1)[1]
+    return score, a1, a2
+
+
+def _rand_pair(rng):
+    n = int(rng.integers(5, 80))
+    m = int(rng.integers(5, 80))
+    s1 = "".join(LETTERS[i] for i in rng.integers(0, 20, n))
+    if rng.random() < 0.5:
+        # related: mutate/indel a copy so alignments are non-trivial
+        l = list(s1)
+        for _ in range(int(rng.integers(1, 6))):
+            p = int(rng.integers(0, len(l)))
+            l[p] = LETTERS[int(rng.integers(0, 20))]
+        if len(l) > 10 and rng.random() < 0.7:
+            q = int(rng.integers(0, len(l) - 4))
+            del l[q : q + int(rng.integers(1, 4))]
+        s2 = "".join(l)[:m] if rng.random() < 0.5 else "".join(l)
+        if not s2:
+            s2 = "A"
+    else:
+        s2 = "".join(LETTERS[i] for i in rng.integers(0, 20, m))
+    return s1, s2
+
+
+def test_fuzz_local_vs_reference_python(tmp_path):
+    aligner = Aligner(mode=LOCAL)
+    for k in range(20):
+        s1, s2 = _rand_pair(RNG)
+        want_score, w1, w2 = _ref_align(tmp_path, s1, s2)
+        r = aligner.align(s1, s2, True)
+        assert r.score == pytest.approx(want_score), (k, s1, s2)
+        a1, a2 = trim_terminal(r.aligned1, r.aligned2)
+        t1, t2 = trim_terminal(w1, w2)
+        assert (a1, a2) == (t1, t2), (k, s1, s2)
