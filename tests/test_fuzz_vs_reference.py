@@ -71,3 +71,34 @@ def test_fuzz_local_vs_reference_python(tmp_path):
         a1, a2 = trim_terminal(r.aligned1, r.aligned2)
         t1, t2 = trim_terminal(w1, w2)
         assert (a1, a2) == (t1, t2), (k, s1, s2)
+
+
+def _ref_align_custom(s1, s2, go, ge):
+    """Drive the reference module in-process with custom penalties (its
+    class hardcodes go=10/ge=0.5 but the attributes are plain floats,
+    smithwaterman.py:65-66)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_sw", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sw = mod.SmithWaterman()
+    sw.go = go
+    sw.ge = ge
+    a1, a2, score = sw.align(s1, s2)
+    return float(score), a1, a2
+
+
+@pytest.mark.parametrize("go,ge", [(7.0, 0.5), (12.5, 0.25), (5.0, 2.0)])
+def test_fuzz_custom_penalties(go, ge):
+    """Non-default penalties (outside the golden suite's 10/0.5)."""
+    rng = np.random.default_rng(int(go * 10 + ge * 100))
+    aligner = Aligner(mode=LOCAL, gap_open=go, gap_extend=ge)
+    for k in range(6):
+        s1, s2 = _rand_pair(rng)
+        want_score, w1, w2 = _ref_align_custom(s1, s2, go, ge)
+        r = aligner.align(s1, s2, True)
+        assert r.score == pytest.approx(want_score), (k, go, ge, s1, s2)
+        assert trim_terminal(r.aligned1, r.aligned2) == trim_terminal(w1, w2), (
+            k, go, ge, s1, s2,
+        )
