@@ -4,10 +4,12 @@ The speed knob for very long, similar sequences (BASELINE config: "Banded
 SW on long sequences (10k+ residues)"): per-row work drops from O(m) to
 O(W).  The band follows the main diagonal with per-row offsets
 ``off(i)`` (monotone, steps of 0 or 1); cells outside the band are treated
-as -inf, so results equal the full DP whenever the optimal path stays
-inside the band — the walker raises ``BandExceeded`` if a traceback ever
-touches the band edge, so callers can retry with a wider band (or fall
-back to the exact full fill).
+as -inf, so results equal the full DP whenever the optimal path (and the
+gap-run origins feeding it) stays inside the band.  Banded DP is
+inherently a heuristic: the walker flags paths pressed against the band
+edge (``edge_touched``), ``align_banded_verified`` applies the standard
+double-band guard (widen until two widths agree), and ``BandExceeded``
+is raised only for out-of-band reads (a corrupt fill).
 
 Measured (v5e): a 12000x11991 near-diagonal pair aligns in ~0.3 s at
 W=512 (score independently recomputed), vs ~120 s for the checkpointed

@@ -102,3 +102,26 @@ def test_fuzz_custom_penalties(go, ge):
         assert trim_terminal(r.aligned1, r.aligned2) == trim_terminal(w1, w2), (
             k, go, ge, s1, s2,
         )
+
+
+def _ref_perl_score(s1, s2):
+    """Reference Perl implementation as a score oracle (its traceback
+    re-derives paths with its own tie priorities, so strings may validly
+    differ on ties; scores cannot)."""
+    out = subprocess.run(
+        ["perl", "-e",
+         'require "/root/reference/smithwaterman.pl"; '
+         f'my ($r1,$r2,$s) = sw::align("{s1}","{s2}"); print $s;'],
+        capture_output=True, text=True, timeout=120,
+    )
+    return float(out.stdout.strip())
+
+
+def test_fuzz_scores_vs_reference_perl():
+    rng = np.random.default_rng(777)
+    aligner = Aligner(mode=LOCAL)
+    for k in range(15):
+        s1, s2 = _rand_pair(rng)
+        assert aligner.score(s1, s2) == pytest.approx(_ref_perl_score(s1, s2)), (
+            k, s1, s2,
+        )
