@@ -117,3 +117,21 @@ def test_aligner_banded_api():
     rb = a.align_banded(s1, s2, band=128)
     rf = a.align(s1, s2)
     assert (rb.score, rb.aligned1, rb.aligned2) == (rf.score, rf.aligned1, rf.aligned2)
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_tiny_sequences(mode):
+    """Band machinery degrades cleanly to the full DP for tiny inputs."""
+    codes1 = RNG.integers(0, 20, size=5).astype(np.int32)
+    codes2 = RNG.integers(0, 20, size=3).astype(np.int32)
+    idx1, idx2, score, edge = banded.align_banded(
+        codes1, codes2, SM.table, mode=mode, og=OG, eg=EG, band=64,
+        interpret=True,
+    )
+    ref = _ref(codes1, codes2, mode)
+    if mode == LOCAL:
+        assert score == pytest.approx(float(ref.best[0]))
+    else:
+        assert score == pytest.approx(
+            float(ref.final[0][int(ref.final_state[0])])
+        )

@@ -195,3 +195,12 @@ def test_out_file_quirk(tmp_path):
     main(["-local", "-list", str(lst), "-out", str(out)])
     txt = out.read_text()
     assert txt.startswith("#score:33#type:Local alignment>s1\n")
+
+
+def test_cluster_empty_input(tmp_path):
+    inp = tmp_path / "empty.fas"
+    inp.write_text("")
+    out = tmp_path / "out.fas"
+    main(["-cluster", "-out", str(out), str(inp)])
+    assert out.read_text() == ""
+    assert (tmp_path / "out.fas.clstr").read_text() == ""
