@@ -124,3 +124,20 @@ def test_sharded_mesh_8_devices():
             want.aligned1,
             want.aligned2,
         )
+
+
+def test_sharded_mesh_glocal_and_scores():
+    """Non-local modes + the score-only path across the 8-device mesh."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    dp = DataParallel(make_mesh(8))
+    pairs = _short_pairs() * 5
+    ba = BatchAligner(mode=GLOCAL, backend="pallas_interpret", device_axis=dp)
+    single = Aligner(mode=GLOCAL)
+    got = ba.align_pairs(pairs)
+    for p, r in zip(pairs, got):
+        w = single.align(p[0], p[1], True)
+        assert (r.score, r.aligned1, r.aligned2) == (w.score, w.aligned1, w.aligned2)
+    scores = ba.score_pairs(pairs)
+    np.testing.assert_allclose(scores, [r.score for r in got])
