@@ -44,9 +44,10 @@ traffic for the inter-row carry state (the M/X/Y rows plus intermediates;
 eliminating the dependency entirely measures ~61 GCUPS), not the
 elementwise op count (removing the 9-step cummax or the pointer cascades
 barely moves the time) and not the argmax arrays (GLOBAL == LOCAL speed).
-Next lever: an exact x2-integer int16 domain for the carries (halves the
-bytes; valid while 2*|score| < 32768, i.e. buckets <= ~1.4k rows for
-BLOSUM62), falling back to f32 for longer buckets.
+Measured levers for later rounds: the per-row S-block read + int8->f32
+cast costs ~20% (ablation: 21.0 -> 25.6 GCUPS score-only without it);
+int16 carries measured no gain; register-chaining rows measured no gain
+(values spill regardless at tile=128).
 """
 
 from __future__ import annotations
