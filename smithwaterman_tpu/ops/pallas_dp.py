@@ -7,7 +7,7 @@ column, spin-waiting on neighbor flags), this kernel parallelizes *across*
 pairs and vectorizes *within* each row:
 
   * A grid step owns a tile of ``TBP`` pairs (a multiple of the 8 VPU
-    sublanes; default 32), laid out on the sublane axis; the j axis
+    sublanes; default 128), laid out on the sublane axis; the j axis
     (columns, length ``MP``) rides the 128-lane axis.  Wide tiles matter:
     the row loop is a serial dependence chain, so per-op width is what
     hides VPU instruction latency.
