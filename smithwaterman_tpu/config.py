@@ -41,6 +41,25 @@ class AlignConfig:
     gap_extend: float = 0.5
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS
 
+    def __post_init__(self):
+        # The engines' vectorized recurrences (max-plus cummax for the X
+        # state, boundary closed forms) are bit-exact vs the reference's
+        # sequential recurrence only when every partial sum is exactly
+        # representable in f32 — guaranteed for quarter-integer penalties
+        # (all reference CLIs use go=10, ge=0.5).  Arbitrary floats (e.g.
+        # 0.1) can diverge in the last ulp and flip equality-sensitive
+        # tie-breaks, changing alignment strings.
+        import warnings
+
+        for name, v in (("gap_open", self.gap_open), ("gap_extend", self.gap_extend)):
+            if (abs(v) * 4.0) != round(abs(v) * 4.0):
+                warnings.warn(
+                    f"{name}={v} is not a multiple of 0.25: scores may differ "
+                    "from a sequential implementation in the last ulp and "
+                    "tie-breaks (hence alignment strings) may diverge",
+                    stacklevel=2,
+                )
+
     @property
     def og(self) -> float:
         return -abs(self.gap_open)

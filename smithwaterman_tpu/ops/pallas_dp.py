@@ -71,11 +71,20 @@ STATS_W = 8
 
 
 def _row_block(np_pad: int, mp_pad: int, tbp: int, itemsize: int) -> int:
-    """Rows per S/tb block so a block stays ~<=1 MiB (double-buffered DMA)."""
+    """Rows per S/tb block so a block stays ~<=1 MiB (double-buffered DMA).
+
+    The result always divides ``np_pad`` (beyond-ladder buckets are rounded
+    to 256-multiples, not powers of two — config.bucket_len), so the grid
+    covers every row; cf. the same guard in banded.fill_banded."""
     budget = 1 << 20
     rb = max(8, budget // max(1, tbp * mp_pad * itemsize))
     rb = 1 << (rb.bit_length() - 1)  # floor to power of two
-    return min(rb, np_pad)
+    rb = min(rb, np_pad)
+    while rb > 1 and np_pad % rb:
+        rb //= 2
+    if np_pad % rb:
+        raise ValueError(f"np_pad {np_pad} is not a multiple of 8")
+    return rb
 
 
 def choose_tile(count: int, mp_pad: int) -> int:
@@ -545,8 +554,14 @@ def fill_checkpointed(
     """
     G, NP, tbp, MP = S.shape
     rb_rows = min(_row_block(NP, MP, tbp, S.dtype.itemsize), ckpt_rows)
-    if ckpt_rows % rb_rows:
-        raise ValueError(f"ckpt_rows {ckpt_rows} not a multiple of row block {rb_rows}")
+    while rb_rows > 1 and (NP % rb_rows or ckpt_rows % rb_rows):
+        rb_rows //= 2
+    if ckpt_rows % rb_rows or NP % rb_rows:
+        raise ValueError(
+            f"ckpt_rows {ckpt_rows} / NP {NP} not multiples of row block {rb_rows}"
+        )
+    if NP % ckpt_rows:
+        raise ValueError(f"NP {NP} not a multiple of ckpt_rows {ckpt_rows}")
     spc = ckpt_rows // rb_rows  # row blocks per checkpoint
     n_row_blocks = NP // rb_rows
     ncks = NP // ckpt_rows

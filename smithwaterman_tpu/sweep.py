@@ -21,6 +21,11 @@ from .batch_aligner import BatchAligner
 from .io.fasta import SeqData
 
 
+class IncompleteSweepError(RuntimeError):
+    """A sweep results file is missing pair results (partial multi-host run
+    or corrupted lines); raised instead of silently returning zero scores."""
+
+
 @dataclass
 class SweepConfig:
     chunk_pairs: int = 256          # pairs per checkpointed chunk
@@ -133,9 +138,20 @@ def score_matrix(
     n1 = len(set1)
     n2 = n1 if set2 is None else len(set2)
     mat = np.zeros((n1, n2), np.float32)
+    expected = len(list(_pair_indices(n1, None if set2 is None else n2)))
+    seen = 0
     for row in load_sweep(out_path):
         i, j, s = int(row[0]), int(row[1]), float(row[2])
         mat[i, j] = s
         if set2 is None:
             mat[j, i] = s
+        seen += 1
+    if seen < expected:
+        # a partial file (other hosts' shards pending, or unparseable lines)
+        # must not read as all-zero scores
+        raise IncompleteSweepError(
+            f"sweep file {out_path} holds {seen}/{expected} pair results; "
+            "run the remaining shards (or re-run sweep()) before assembling "
+            "the matrix"
+        )
     return mat

@@ -90,6 +90,44 @@ def test_kernel_score_only(mode):
             np.testing.assert_allclose(stats[b, 3:6], np.asarray(ref.final[b]))
 
 
+def test_row_block_divides_np():
+    """Regression (ADVICE r1): beyond-ladder buckets round NP to 256-multiples
+    that a power-of-two row block need not divide — e.g. an 8300x50 pair
+    lands in bucket 8448x64 where the old budget block of 2048 left 256 rows
+    uncovered."""
+    from smithwaterman_tpu.ops.pallas_dp import _row_block
+
+    for np_pad in (64, 512, 8192, 8448, 8704, 13056, 24):
+        for mp_pad in (64, 128, 512, 4096, 8192):
+            for itemsize in (1, 4):
+                rb = _row_block(np_pad, mp_pad, 8, itemsize)
+                assert np_pad % rb == 0, (np_pad, mp_pad, itemsize, rb)
+                assert rb >= 1
+
+
+def test_fill_tiled_non_pow2_rows():
+    """fill_tiled on an NP the budget row block does not divide (NP=24 with
+    MP=8192 gives a 16-row budget block): every row must be covered."""
+    sm = SubstitutionMatrix.blosum62()
+    NP, MP = 24, 8192
+    codes1 = RNG.integers(0, sm.n_symbols, size=(TB, NP)).astype(np.int32)
+    codes2 = RNG.integers(0, sm.n_symbols, size=(TB, MP)).astype(np.int32)
+    n = np.full(TB, NP, np.int32)
+    m = np.array([50, 24, 8192, 100, 7, 1, 300, 129], dtype=np.int32)
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
+    )
+    _, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=LOCAL, og=OG, eg=EG, score_only=True, interpret=True
+    )
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=LOCAL, og=OG, eg=EG, score_only=True)
+    for b in range(TB):
+        assert stats[b, 0] == pytest.approx(float(ref.best[b])), f"pair {b}"
+
+
 def test_float_table_path():
     """Non-integer tables use the exact f32 gather path."""
     sm = SubstitutionMatrix.blosum62()

@@ -65,6 +65,19 @@ def test_two_set_sweep_with_alignments(tmp_path):
     assert all(len(r) == 5 for r in rows)  # i, j, score, a1, a2
 
 
+def test_score_matrix_rejects_partial_file(tmp_path):
+    """Regression (ADVICE r1): a partial sweep file (e.g. only this host's
+    shard) must raise, not silently read as zero scores."""
+    import pytest
+
+    from smithwaterman_tpu.sweep import IncompleteSweepError
+
+    out = str(tmp_path / "partial.jsonl")
+    cfg = SweepConfig(chunk_pairs=2, process_index=0, process_count=2)
+    with pytest.raises(IncompleteSweepError):
+        score_matrix(SEQS, None, _engine(), out, cfg)
+
+
 def test_process_sharding(tmp_path):
     outs = []
     for pid in range(2):

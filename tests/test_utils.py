@@ -57,3 +57,20 @@ def test_match_line_and_format():
     assert match_line(a1, a2) == ":: : ::"
     out = format_alignment(a1, a2, width=4)
     assert out.split("\n\n")[0] == "HEAG\n:: :\nHE-G"
+
+
+def test_config_warns_on_nondyadic_penalties():
+    """ADVICE r1: non-quarter-integer penalties can diverge in the last ulp
+    vs a sequential recurrence; the config must say so."""
+    import warnings
+
+    from smithwaterman_tpu.config import AlignConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        AlignConfig(gap_open=10.0, gap_extend=0.5)
+    assert not w
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        AlignConfig(gap_open=10.0, gap_extend=0.1)
+    assert any("0.25" in str(x.message) for x in w)
