@@ -1,0 +1,350 @@
+#!/usr/bin/env python3
+"""Kernel experiment lab: measure fill-kernel variants on the real TPU.
+
+Exploratory harness for the round-2 perf push (VERDICT.md next-round #1).
+Each variant is a self-contained copy of the LOCAL-mode row kernel from
+ops/pallas_dp.py with one lever changed; all variants run in ONE process
+(the axon tunnel recompiles every shape per process) with honest chained
+timing (lax.scan dependency chain, min of 3).
+
+Usage:  python -u scripts/kernel_lab.py [variant ...]
+        (no args = run the default sweep; prints one JSON line per variant)
+
+Variants are perf experiments only — correctness of kept ideas is enforced
+by porting them into ops/pallas_dp.py under tests/test_pallas_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1.0e30
+
+
+def _shift_right(v, fill):
+    pad = jnp.broadcast_to(fill, v.shape[:-1] + (1,)).astype(v.dtype)
+    return jnp.concatenate([pad, v[:, :-1]], axis=1)
+
+
+def _cummax_lanes(v, width: int):
+    sh = 1
+    while sh < width:
+        shifted = jnp.concatenate(
+            [jnp.full(v.shape[:-1] + (sh,), NEG, v.dtype), v[:, :-sh]], axis=1
+        )
+        v = jnp.maximum(v, shifted)
+        sh *= 2
+    return v
+
+
+def _lab_kernel(
+    bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
+    *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
+    fuse_max3, nomask, fake_cummax, nchain, traceback, tb_ref=None,
+):
+    """LOCAL-mode score-only (or traceback) row kernel, parameterized."""
+    rb = pl.program_id(1)
+    sent = 10.0 * og + 10.0 * eg
+    jl = jax.lax.broadcasted_iota(jnp.int32, (tbp // nchain, mp), 1)
+    lanef = jl.astype(jnp.float32)
+    lanef_pe = lanef * eg
+    jf1 = (jl + 1).astype(jnp.float32)
+
+    @pl.when(rb == 0)
+    def _init():
+        lsc = jf1 * eg * 0.0 + 0.0  # local: so=se=0 -> lsc = 0*j + (0-0) = 0
+        # match pallas_dp: lsc = jf1*se + (so-se) with so=se=0 => 0
+        full = jnp.zeros((tbp // nchain, mp), jnp.float32)
+        for c in range(nchain):
+            sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
+            cm[sl, :] = full + sent
+            cx[sl, :] = full
+            cy[sl, :] = full + sent
+            runbest[sl, :] = jnp.full((tbp // nchain, mp), NEG, jnp.float32)
+
+    def one_row(r, Mp, Xp, Yp, rbv, srow_all, coff):
+        i = rb * rb_rows + r + 1
+        fi = jnp.float32(i)
+        srow = srow_all
+        lsc_im1 = 0.0  # local
+        at_first = i == 1
+        fill_m = jnp.where(at_first, 0.0, lsc_im1 + sent)
+        fill_x = jnp.where(at_first, -1.0, lsc_im1 + sent)
+        fill_y = jnp.where(at_first, -1.0, lsc_im1)
+
+        if fuse_max3:
+            U = jnp.maximum(Mp, Xp)
+            W = jnp.maximum(U, Yp)
+            fill_w = jnp.maximum(jnp.maximum(fill_m, fill_x), fill_y)
+            val_m = _shift_right(W, fill_w) + srow
+            val_y = jnp.maximum(U + og, Yp + eg)
+        else:
+            Mp1 = _shift_right(Mp, fill_m)
+            Xp1 = _shift_right(Xp, fill_x)
+            Yp1 = _shift_right(Yp, fill_y)
+            val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
+            val_y = jnp.maximum(jnp.maximum(Mp, Xp) + og, Yp + eg)
+
+        if traceback:
+            Mp1t = _shift_right(Mp, fill_m)
+            Xp1t = _shift_right(Xp, fill_x)
+            Yp1t = _shift_right(Yp, fill_y)
+            m_ge_x = Mp1t >= Xp1t
+            m_ge_y = Mp1t >= Yp1t
+            x_ge_y = Xp1t >= Yp1t
+            prev_m = jnp.where(
+                m_ge_x, jnp.where(m_ge_y, 0, 2), jnp.where(x_ge_y, 1, 2)
+            )
+            c1 = Mp + og >= Yp + eg
+            c2 = Mp > Xp
+            c3 = Yp + eg > Xp + og
+            prev_y = jnp.where(c1, jnp.where(c2, 0, 1), jnp.where(c3, 2, 1))
+
+        val_m = jnp.maximum(val_m, 0.0)
+        val_y = jnp.maximum(val_y, 0.0)
+
+        x0b = sent  # local lsc_i = 0
+        g0 = 0.0 + og
+        gline = jnp.maximum(val_m, val_y) + og
+        hraw = _shift_right(gline, g0)
+        h = hraw - lanef_pe
+        h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp // nchain, 1)),
+                         x0b + eg)
+        h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp // nchain, mp)), h)
+        if fake_cummax:
+            c = h * 1.0001  # ablation: keep the dep, drop the scan
+        else:
+            c = _cummax_lanes(h, mp)
+        val_x = c + lanef_pe
+        val_x = jnp.maximum(val_x, 0.0)
+
+        if traceback:
+            Mm1 = _shift_right(val_m, sent)
+            Xm1 = _shift_right(val_x, x0b)
+            Ym1 = _shift_right(val_y, 0.0)
+            d1 = Mm1 + og >= Xm1 + eg
+            d2 = Mm1 > Ym1
+            d3 = Xm1 + eg > Ym1 + og
+            prev_x = jnp.where(d1, jnp.where(d2, 0, 2), jnp.where(d3, 1, 2))
+            prev_m = jnp.where(val_m == 0.0, 3, prev_m)
+            prev_x = jnp.where(val_x == 0.0, 3, prev_x)
+            prev_y = jnp.where(val_y == 0.0, 3, prev_y)
+            tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = (
+                prev_m | (prev_x << 2) | (prev_y << 4)
+            ).astype(jnp.uint8)
+
+        if nomask:
+            rbv = jnp.maximum(rbv, val_m)
+        else:
+            # baseline masking (lengths==padded here, mask vs constants)
+            in_range = jl < mp
+            masked = jnp.where(in_range, val_m, NEG)
+            rbv = jnp.maximum(rbv, masked)
+        return val_m, val_x, val_y, rbv
+
+    def group_step(g, _):
+        states = []
+        for c in range(nchain):
+            sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
+            states.append([cm[sl, :], cx[sl, :], cy[sl, :], runbest[sl, :]])
+        for q in range(R):
+            r = g * R + q
+            srows = []
+            for c in range(nchain):
+                sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
+                srows.append(s_ref[0, r, sl, :].astype(jnp.float32))
+            for c in range(nchain):
+                Mp, Xp, Yp, rbv = states[c]
+                states[c] = list(one_row(
+                    r, Mp, Xp, Yp, rbv, srows[c], c * (tbp // nchain)
+                ))
+        for c in range(nchain):
+            sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
+            cm[sl, :], cx[sl, :], cy[sl, :], runbest[sl, :] = states[c]
+        return 0
+
+    jax.lax.fori_loop(0, rb_rows // R, group_step, 0, unroll=False)
+
+    @pl.when(rb == n_row_blocks - 1)
+    def _finish():
+        gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)
+        # bump (an SMEM scalar fed from the previous chain iteration's
+        # output) serializes back-to-back executions for honest timing
+        stats_ref[0, :, :] = jnp.broadcast_to(gmax, (tbp, 8)) + bump_ref[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
+        "traceback", "rb_rows",
+    ),
+)
+def lab_fill(
+    S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
+    rb_rows,
+):
+    G, NP, tbp, MP = S.shape
+    n_row_blocks = NP // rb_rows
+    kernel = functools.partial(
+        _lab_kernel,
+        og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
+        n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
+        fake_cummax=fake_cummax, nchain=nchain, traceback=traceback,
+    )
+    if traceback:
+        def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
+            kernel(bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
+                   tb_ref=tb_ref)
+    else:
+        def kfn(bump_ref, s_ref, stats_ref, cm, cx, cy, runbest):
+            kernel(bump_ref, s_ref, stats_ref, cm, cx, cy, runbest)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda ib, rb: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    stats_shape = jax.ShapeDtypeStruct((G, tbp, 8), jnp.float32)
+    stats_spec = pl.BlockSpec((1, tbp, 8), lambda ib, rb: (ib, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), jnp.float32),
+    ]
+    cp = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+    if traceback:
+        tb_shape = jax.ShapeDtypeStruct((G, NP, tbp, MP), jnp.uint8)
+        tb_spec = pl.BlockSpec(
+            (1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        tb, stats = pl.pallas_call(
+            kfn, grid=(G, n_row_blocks), in_specs=in_specs,
+            out_shape=(tb_shape, stats_shape),
+            out_specs=(tb_spec, stats_spec),
+            scratch_shapes=scratch, compiler_params=cp,
+        )(bump, S)
+        return stats
+    stats = pl.pallas_call(
+        kfn, grid=(G, n_row_blocks), in_specs=in_specs,
+        out_shape=stats_shape, out_specs=stats_spec,
+        scratch_shapes=scratch, compiler_params=cp,
+    )(bump, S)
+    return stats
+
+
+def bench_variant(name, S, ncall=16, **kw):
+    """Honest chained timing: each call consumes a zero derived from the
+    previous call's output (the tunnel caches identical executions)."""
+    B = S.shape[0] * S.shape[2]
+    NP, MP = S.shape[1], S.shape[3]
+
+    @jax.jit
+    def chain(S0, b0):
+        def body(bump, _):
+            stats = lab_fill(S0, bump, **kw)
+            nb = (stats[0:1, 0:1, 0] * 0.0) + b0
+            return nb, stats[0, 0, 0]
+        _, scores = jax.lax.scan(body, b0, None, length=ncall)
+        return scores
+
+    # vary b0 per call (the axon tunnel caches identical (program, args)
+    # executions) and force a device->host value read per timed call
+    # (block_until_ready returns early on the tunnel)
+    r = chain(S, jnp.full((1, 1), 0.0, jnp.float32))
+    float(np.asarray(r)[-1])
+    dt = None
+    for k in range(3):
+        b0 = jnp.full((1, 1), float(k + 1) * 1e-6, jnp.float32)
+        t0 = time.time()
+        r = chain(S, b0)
+        float(np.asarray(r)[-1])
+        d = (time.time() - t0) / ncall
+        dt = d if dt is None else min(dt, d)
+    gcups = B * NP * MP / dt / 1e9
+    print(json.dumps({"variant": name, "gcups": round(gcups, 2),
+                      "ms_per_call": round(dt * 1e3, 2), **{
+                          k: v for k, v in kw.items() if k != "og" and k != "eg"
+                      }}), flush=True)
+    return gcups
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    rng = np.random.default_rng(0)
+    B, NP, MP = 512, 512, 512
+    S_i8 = jnp.asarray(
+        rng.integers(-4, 12, size=(B, NP, MP)).astype(np.int8)
+    ).reshape(4, 128, NP, MP).transpose(0, 2, 1, 3)
+    S_f32 = S_i8.astype(jnp.float32)
+
+    # block sizes match production _row_block: ~1 MiB per S block
+    base_i8 = dict(og=-10.0, eg=-0.5, R=4, fuse_max3=False, nomask=False,
+                   fake_cummax=False, nchain=1, traceback=False, rb_rows=16)
+    base = {**base_i8, "rb_rows": 4}  # f32
+
+    want = sys.argv[1:] or [
+        "base-i8", "base-f32", "fuse-f32", "nomask-f32", "fused-nomask-f32",
+        "fakecummax-f32", "nchain2-f32", "nchain4-f32", "R8-f32", "R16-f32",
+        "rb16-f32", "tb-base-i8", "tb-fused-f32",
+    ]
+    S128_i8 = S_i8
+    variants = {
+        "base-i8": (S128_i8, base_i8),
+        "base-f32": (S_f32, base),
+        "fuse-f32": (S_f32, {**base, "fuse_max3": True}),
+        "nomask-f32": (S_f32, {**base, "nomask": True}),
+        "fused-nomask-f32": (S_f32, {**base, "fuse_max3": True, "nomask": True}),
+        "fakecummax-f32": (S_f32, {**base, "fake_cummax": True}),
+        "nchain2-f32": (S_f32, {**base, "nchain": 2}),
+        "nchain4-f32": (S_f32, {**base, "nchain": 4}),
+        "nchain2-fused-f32": (S_f32, {**base, "nchain": 2, "fuse_max3": True}),
+        "R8-f32": (S_f32, {**base, "R": 8}),
+        "R16-f32": (S_f32, {**base, "R": 16}),
+        "R2-f32": (S_f32, {**base, "R": 2}),
+        "rb16-f32": (S_f32, {**base, "rb_rows": 16}),
+        "tb-base-i8": (S128_i8, {**base_i8, "traceback": True}),
+        "tb-base-f32": (S_f32, {**base, "traceback": True}),
+        "tb-fused-f32": (S_f32, {**base, "fuse_max3": True, "traceback": True}),
+        "tb-nchain2-f32": (S_f32, {**base, "nchain": 2, "traceback": True}),
+    }
+    # tile-width variants need a reshaped S
+    for tile in (64, 256):
+        G = B // tile
+        St = S_f32.transpose(0, 2, 1, 3).reshape(B, NP, MP)
+        St = St.reshape(G, tile, NP, MP).transpose(0, 2, 1, 3)
+        rbt = max(1, (1 << 20) // (tile * MP * 4))
+        rbt = 1 << (rbt.bit_length() - 1)
+        variants[f"tile{tile}-f32"] = (St, {**base, "rb_rows": rbt})
+        variants[f"tile{tile}-nchain2-f32"] = (
+            St, {**base, "rb_rows": rbt, "nchain": 2}
+        )
+
+    for name in want:
+        if name not in variants:
+            print(f"unknown variant {name}", file=sys.stderr)
+            continue
+        S, kw = variants[name]
+        try:
+            bench_variant(name, S, **kw)
+        except Exception as e:  # keep sweeping past a broken variant
+            print(json.dumps({"variant": name, "error": repr(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
