@@ -28,11 +28,14 @@ def initialize(
     )
     if coordinator_address is None:
         return
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:  # NB: 0 is a valid id — do not use `or`
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes
-        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 
