@@ -37,11 +37,11 @@ def _shift_right(v, fill):
     return jnp.concatenate([pad, v[:, :-1]], axis=1)
 
 
-def _cummax_lanes(v, width: int):
+def _cummax_lanes(v, width: int, fill):
     sh = 1
     while sh < width:
         shifted = jnp.concatenate(
-            [jnp.full(v.shape[:-1] + (sh,), NEG, v.dtype), v[:, :-sh]], axis=1
+            [jnp.full(v.shape[:-1] + (sh,), fill, v.dtype), v[:, :-sh]], axis=1
         )
         v = jnp.maximum(v, shifted)
         sh *= 2
@@ -51,37 +51,50 @@ def _cummax_lanes(v, width: int):
 def _lab_kernel(
     bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
-    fuse_max3, nomask, fake_cummax, nchain, traceback, tb_ref=None,
+    fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
+    tb_ref=None,
 ):
-    """LOCAL-mode score-only (or traceback) row kernel, parameterized."""
+    """LOCAL-mode score-only (or traceback) row kernel, parameterized.
+
+    i16: exact x2-integer score domain — all row math in int16 (scores are
+    half-integers, so 2x values are ints; exact for |2v| < 32767, i.e.
+    buckets up to ~1400 rows with BLOSUM62).  Halves per-op vreg count.
+    """
     rb = pl.program_id(1)
-    sent = 10.0 * og + 10.0 * eg
+    if i16:
+        dt = jnp.int16
+        og = jnp.int16(int(2 * og))
+        eg = jnp.int16(int(2 * eg))
+        sent = jnp.int16(10 * int(og) + 10 * int(eg))
+        NEGv = jnp.int16(-20000)
+        zero, mone = jnp.int16(0), jnp.int16(-2)
+    else:
+        dt = jnp.float32
+        sent = 10.0 * og + 10.0 * eg
+        NEGv = jnp.float32(NEG)
+        zero, mone = jnp.float32(0.0), jnp.float32(-1.0)
     jl = jax.lax.broadcasted_iota(jnp.int32, (tbp // nchain, mp), 1)
-    lanef = jl.astype(jnp.float32)
+    lanef = jl.astype(dt)
     lanef_pe = lanef * eg
-    jf1 = (jl + 1).astype(jnp.float32)
 
     @pl.when(rb == 0)
     def _init():
-        lsc = jf1 * eg * 0.0 + 0.0  # local: so=se=0 -> lsc = 0*j + (0-0) = 0
-        # match pallas_dp: lsc = jf1*se + (so-se) with so=se=0 => 0
-        full = jnp.zeros((tbp // nchain, mp), jnp.float32)
+        # local: so=se=0 -> lsc = 0 (pallas_dp: lsc = jf1*se + (so-se))
+        full = jnp.zeros((tbp // nchain, mp), dt)
         for c in range(nchain):
             sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
             cm[sl, :] = full + sent
             cx[sl, :] = full
             cy[sl, :] = full + sent
-            runbest[sl, :] = jnp.full((tbp // nchain, mp), NEG, jnp.float32)
+            runbest[sl, :] = jnp.full((tbp // nchain, mp), NEGv, dt)
 
     def one_row(r, Mp, Xp, Yp, rbv, srow_all, coff):
         i = rb * rb_rows + r + 1
-        fi = jnp.float32(i)
         srow = srow_all
-        lsc_im1 = 0.0  # local
         at_first = i == 1
-        fill_m = jnp.where(at_first, 0.0, lsc_im1 + sent)
-        fill_x = jnp.where(at_first, -1.0, lsc_im1 + sent)
-        fill_y = jnp.where(at_first, -1.0, lsc_im1)
+        fill_m = jnp.where(at_first, zero, sent)
+        fill_x = jnp.where(at_first, mone, sent)
+        fill_y = jnp.where(at_first, mone, zero)
 
         if fuse_max3:
             U = jnp.maximum(Mp, Xp)
@@ -96,6 +109,10 @@ def _lab_kernel(
             val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
             val_y = jnp.maximum(jnp.maximum(Mp, Xp) + og, Yp + eg)
 
+        if i16:
+            p0, p1, p2, p3 = (jnp.int16(v) for v in (0, 1, 2, 3))
+        else:
+            p0, p1, p2, p3 = 0, 1, 2, 3
         if traceback:
             Mp1t = _shift_right(Mp, fill_m)
             Xp1t = _shift_right(Xp, fill_x)
@@ -104,52 +121,57 @@ def _lab_kernel(
             m_ge_y = Mp1t >= Yp1t
             x_ge_y = Xp1t >= Yp1t
             prev_m = jnp.where(
-                m_ge_x, jnp.where(m_ge_y, 0, 2), jnp.where(x_ge_y, 1, 2)
+                m_ge_x, jnp.where(m_ge_y, p0, p2), jnp.where(x_ge_y, p1, p2)
             )
             c1 = Mp + og >= Yp + eg
             c2 = Mp > Xp
             c3 = Yp + eg > Xp + og
-            prev_y = jnp.where(c1, jnp.where(c2, 0, 1), jnp.where(c3, 2, 1))
+            prev_y = jnp.where(c1, jnp.where(c2, p0, p1), jnp.where(c3, p2, p1))
 
-        val_m = jnp.maximum(val_m, 0.0)
-        val_y = jnp.maximum(val_y, 0.0)
+        val_m = jnp.maximum(val_m, zero)
+        val_y = jnp.maximum(val_y, zero)
 
         x0b = sent  # local lsc_i = 0
-        g0 = 0.0 + og
+        g0 = og
         gline = jnp.maximum(val_m, val_y) + og
         hraw = _shift_right(gline, g0)
         h = hraw - lanef_pe
-        h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp // nchain, 1)),
-                         x0b + eg)
+        h0 = jnp.maximum(
+            jnp.broadcast_to(jnp.asarray(g0), (tbp // nchain, 1)).astype(dt),
+            x0b + eg,
+        )
         h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp // nchain, mp)), h)
         if fake_cummax:
-            c = h * 1.0001  # ablation: keep the dep, drop the scan
+            c = h + h  # ablation: keep the dep, drop the scan
         else:
-            c = _cummax_lanes(h, mp)
+            c = _cummax_lanes(h, mp, NEGv)
         val_x = c + lanef_pe
-        val_x = jnp.maximum(val_x, 0.0)
+        val_x = jnp.maximum(val_x, zero)
 
         if traceback:
             Mm1 = _shift_right(val_m, sent)
             Xm1 = _shift_right(val_x, x0b)
-            Ym1 = _shift_right(val_y, 0.0)
+            Ym1 = _shift_right(val_y, zero)
             d1 = Mm1 + og >= Xm1 + eg
             d2 = Mm1 > Ym1
             d3 = Xm1 + eg > Ym1 + og
-            prev_x = jnp.where(d1, jnp.where(d2, 0, 2), jnp.where(d3, 1, 2))
-            prev_m = jnp.where(val_m == 0.0, 3, prev_m)
-            prev_x = jnp.where(val_x == 0.0, 3, prev_x)
-            prev_y = jnp.where(val_y == 0.0, 3, prev_y)
-            tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = (
-                prev_m | (prev_x << 2) | (prev_y << 4)
-            ).astype(jnp.uint8)
+            prev_x = jnp.where(d1, jnp.where(d2, p0, p2), jnp.where(d3, p1, p2))
+            prev_m = jnp.where(val_m == zero, p3, prev_m)
+            prev_x = jnp.where(val_x == zero, p3, prev_x)
+            prev_y = jnp.where(val_y == zero, p3, prev_y)
+            if i16:
+                # no sub-word shifts in Mosaic: pack multiplicatively
+                packed = prev_m + prev_x * jnp.int16(4) + prev_y * jnp.int16(16)
+            else:
+                packed = prev_m | (prev_x << 2) | (prev_y << 4)
+            tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = packed.astype(jnp.uint8)
 
         if nomask:
             rbv = jnp.maximum(rbv, val_m)
         else:
             # baseline masking (lengths==padded here, mask vs constants)
             in_range = jl < mp
-            masked = jnp.where(in_range, val_m, NEG)
+            masked = jnp.where(in_range, val_m, NEGv)
             rbv = jnp.maximum(rbv, masked)
         return val_m, val_x, val_y, rbv
 
@@ -163,7 +185,7 @@ def _lab_kernel(
             srows = []
             for c in range(nchain):
                 sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
-                srows.append(s_ref[0, r, sl, :].astype(jnp.float32))
+                srows.append(s_ref[0, r, sl, :].astype(dt))
             for c in range(nchain):
                 Mp, Xp, Yp, rbv = states[c]
                 states[c] = list(one_row(
@@ -174,11 +196,12 @@ def _lab_kernel(
             cm[sl, :], cx[sl, :], cy[sl, :], runbest[sl, :] = states[c]
         return 0
 
+    assert rb_rows % R == 0 and rb_rows // R > 0, (rb_rows, R)
     jax.lax.fori_loop(0, rb_rows // R, group_step, 0, unroll=False)
 
     @pl.when(rb == n_row_blocks - 1)
     def _finish():
-        gmax = jnp.max(runbest[:, :], axis=1, keepdims=True)
+        gmax = jnp.max(runbest[:, :], axis=1, keepdims=True).astype(jnp.float32)
         # bump (an SMEM scalar fed from the previous chain iteration's
         # output) serializes back-to-back executions for honest timing
         stats_ref[0, :, :] = jnp.broadcast_to(gmax, (tbp, 8)) + bump_ref[0, 0]
@@ -188,12 +211,12 @@ def _lab_kernel(
     jax.jit,
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
-        "traceback", "rb_rows",
+        "traceback", "rb_rows", "i16",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
-    rb_rows,
+    rb_rows, i16=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -201,7 +224,7 @@ def lab_fill(
         _lab_kernel,
         og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
-        fake_cummax=fake_cummax, nchain=nchain, traceback=traceback,
+        fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -219,11 +242,12 @@ def lab_fill(
     stats_shape = jax.ShapeDtypeStruct((G, tbp, 8), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, 8), lambda ib, rb: (ib, 0, 0),
                               memory_space=pltpu.VMEM)
+    sdt = jnp.int16 if i16 else jnp.float32
     scratch = [
-        pltpu.VMEM((tbp, MP), jnp.float32),
-        pltpu.VMEM((tbp, MP), jnp.float32),
-        pltpu.VMEM((tbp, MP), jnp.float32),
-        pltpu.VMEM((tbp, MP), jnp.float32),
+        pltpu.VMEM((tbp, MP), sdt),
+        pltpu.VMEM((tbp, MP), sdt),
+        pltpu.VMEM((tbp, MP), sdt),
+        pltpu.VMEM((tbp, MP), sdt),
     ]
     cp = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
     if traceback:
@@ -305,6 +329,33 @@ def main():
     S128_i8 = S_i8
     variants = {
         "base-i8": (S128_i8, base_i8),
+        "fuse-i8": (S128_i8, {**base_i8, "fuse_max3": True}),
+        "R8-i8": (S128_i8, {**base_i8, "R": 8}),
+        "R16-i8": (S128_i8, {**base_i8, "R": 16}),
+        "fuseR8-i8": (S128_i8, {**base_i8, "fuse_max3": True, "R": 8}),
+        "i16": (S128_i8, {**base_i8, "i16": True}),
+        "i16-fuse": (S128_i8, {**base_i8, "i16": True, "fuse_max3": True}),
+        "i16-R8": (S128_i8, {**base_i8, "i16": True, "R": 8}),
+        "i16-fuse-R8": (
+            S128_i8, {**base_i8, "i16": True, "fuse_max3": True, "R": 8}
+        ),
+        "i16-fuse-R16": (
+            S128_i8, {**base_i8, "i16": True, "fuse_max3": True, "R": 16}
+        ),
+        "tb-i16": (S128_i8, {**base_i8, "i16": True, "traceback": True}),
+        "tb-i16-fuse": (
+            S128_i8,
+            {**base_i8, "i16": True, "fuse_max3": True, "traceback": True},
+        ),
+        "tb-i16-fuse-R8": (
+            S128_i8,
+            {**base_i8, "i16": True, "fuse_max3": True, "R": 8,
+             "traceback": True},
+        ),
+        "tb-fuseR8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True},
+        ),
         "base-f32": (S_f32, base),
         "fuse-f32": (S_f32, {**base, "fuse_max3": True}),
         "nomask-f32": (S_f32, {**base, "nomask": True}),
