@@ -161,6 +161,7 @@ class Aligner:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
         self.config = config
         self.scoring_matrix = scoring_matrix or SubstitutionMatrix.blosum62()
+        self._batch = None  # lazy TPU-kernel delegate (see align_partial)
 
     # ------------------------------------------------------------------
     @property
@@ -170,6 +171,15 @@ class Aligner:
     def prepare(self, s1, s2) -> None:
         """Parity hook for PositionSpecificMatrix (rs:51-54)."""
         self.scoring_matrix.prepare(_as_seqdata(s1), _as_seqdata(s2))
+
+    @staticmethod
+    def _on_tpu() -> bool:
+        import jax
+
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - backend init failure
+            return False
 
     # ------------------------------------------------------------------
     def align(self, s1, s2, retain_all: bool = True) -> AlignResult:
@@ -250,6 +260,28 @@ class Aligner:
     ) -> AlignResult:
         s1 = _as_seqdata(s1)
         s2 = _as_seqdata(s2)
+
+        # On TPU the flagship API uses the flagship kernel: route through
+        # the batch pipeline (B=1 bucketing) whenever the matrix is a
+        # letter table (PSMs are per-pair — scan path) and no partial
+        # region narrows the sequences.  The kernel is bit-exact vs scan
+        # (tests/test_pallas_kernel.py), so results are unchanged.
+        if (
+            partial_region is None
+            and hasattr(self.scoring_matrix, "table")
+            and self._on_tpu()
+        ):
+            if self._batch is None:
+                from .batch_aligner import BatchAligner
+
+                self._batch = BatchAligner(
+                    scoring_matrix=self.scoring_matrix, config=self.config
+                )
+            if score_only:
+                score = float(self._batch.score_pairs([(s1, s2)])[0])
+                return AlignResult("", "", score)
+            return self._batch.align_pairs([(s1, s2)], retain_all)[0]
+
         p1 = partial_region[0] if partial_region else None
         p2 = partial_region[1] if partial_region else None
         codes1 = self.scoring_matrix.seq_to_index(s1.seq, p1)
