@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Benchmark SUITE: per-bucket GCUPS across modes/paths on the real TPU.
+
+Replaces the single-point view of bench.py (which stays the driver's
+headline number) with ~a dozen rows:
+
+  * fill kernel: {256^2, 512^2, 1024^2, 2048^2} x {traceback, score-only}
+    x {local, glocal}   (cells normalized so each row runs ~10^8+ cells)
+  * batched banded: 8 simultaneous 12k-ish pairs vs one pair (the >=4x
+    batching claim of VERDICT r1 #4)
+  * longseq: checkpoint+re-fill traceback wall time for one 8192x4096 pair
+  * striped fill: one 2048 x 65536 pair column-striped (single chip here;
+    the mesh path is exercised multi-device in tests/dryrun)
+
+Timing is honest: executions are serialized through a data-dependent chain
+and a device->host value read per measurement (the axon tunnel both caches
+identical executions and returns early from block_until_ready).
+
+Writes one JSON array to --out (default BENCH_SUITE.json) and prints rows.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _force(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_fill(B, N, mode, score_only, ncall=8):
+    from smithwaterman_tpu.matrices import SubstitutionMatrix
+    from smithwaterman_tpu.ops import batch, pallas_dp
+    from smithwaterman_tpu.ops.pallas_dp import choose_tile
+
+    tile = choose_tile(B, N)
+    sm = SubstitutionMatrix.blosum62()
+    rng = np.random.default_rng(0)
+    codes1 = rng.integers(0, 20, size=(B, N)).astype(np.int32)
+    codes2 = rng.integers(0, 20, size=(B, N)).astype(np.int32)
+    S = batch.scores_tiled(
+        jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile
+    )
+    G = B // tile
+    nt = jnp.full((G, tile, 1), N, jnp.int32)
+    mt = jnp.full((G, tile, 1), N, jnp.int32)
+
+    @jax.jit
+    def chain(nt0, mt0):
+        def body(nm, _):
+            nt_c, mt_c = nm
+            tb, stats = pallas_dp.fill_tiled(
+                S, nt_c, mt_c, mode=mode, og=-10.0, eg=-0.5,
+                score_only=score_only,
+            )
+            bump = (stats[0, 0, 0] * 0.0).astype(jnp.int32)
+            return (nt_c + bump, mt_c + bump), stats[0, 0, 0]
+        _, out = jax.lax.scan(body, (nt0, mt0), None, length=ncall)
+        return out
+
+    _force(chain(nt, mt))  # compile + warm
+    dt = None
+    for k in range(3):
+        # vary an input per timed call to defeat the tunnel execution cache
+        ntk = nt + k + 1 - (k + 1)  # same values, fresh buffer
+        ntk = jnp.asarray(np.asarray(nt))  # force distinct upload
+        t0 = time.time()
+        _force(chain(ntk, mt))
+        d = (time.time() - t0) / ncall
+        dt = d if dt is None else min(dt, d)
+    return B * N * N / dt / 1e9, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_SUITE.json")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    assert jax.default_backend() == "tpu", "suite needs the TPU"
+
+    from smithwaterman_tpu.config import GLOCAL, LOCAL
+    from smithwaterman_tpu.matrices import SubstitutionMatrix
+    from smithwaterman_tpu.ops import banded
+
+    rows = []
+
+    def emit(**kw):
+        rows.append(kw)
+        print(json.dumps(kw), flush=True)
+
+    fill_cfgs = [
+        (2048, 256), (512, 512), (128, 1024),
+    ] + ([] if args.quick else [(32, 2048)])
+    for B, N in fill_cfgs:
+        for mode, mname in ((LOCAL, "local"), (GLOCAL, "glocal")):
+            for so in (False, True):
+                g, dt = bench_fill(B, N, mode, so)
+                emit(
+                    metric="fill_gcups", bucket=f"{N}x{N}", pairs=B,
+                    mode=mname, score_only=so, gcups=round(g, 2),
+                    ms_per_call=round(dt * 1e3, 2),
+                )
+
+    # batched banded: 8 long similar pairs at once vs one at a time
+    sm = SubstitutionMatrix.blosum62()
+    rng = np.random.default_rng(1)
+    L = 6000 if args.quick else 12000
+    pairs = []
+    for _ in range(8):
+        base = rng.integers(0, 20, size=L + 40).astype(np.int32)
+        c2 = base[20 : L + 20].copy()
+        mut = rng.integers(0, L, size=L // 20)
+        c2[mut] = rng.integers(0, 20, size=len(mut))
+        pairs.append((base[:L], c2))
+
+    def run_banded(ps):
+        t0 = time.time()
+        res = banded.align_banded_batch(
+            ps, sm.table, mode=LOCAL, og=-10.0, eg=-0.5, band=512
+        )
+        return time.time() - t0, res
+
+    run_banded(pairs)  # compile + warm (batch shape)
+    dt8, _ = run_banded(pairs)
+    run_banded(pairs[:1])  # compile + warm (B=1 same shapes -> cached prog)
+    dt1, _ = run_banded(pairs[:1])
+    emit(metric="banded_batch8_s", value=round(dt8, 3), pairs=8, length=L,
+         band=512)
+    emit(metric="banded_single_s", value=round(dt1, 3), pairs=1, length=L,
+         band=512)
+    emit(metric="banded_batch_speedup", value=round(8 * dt1 / dt8, 2))
+
+    # longseq: checkpointed fill + banded re-fill traceback, end-to-end
+    from smithwaterman_tpu.ops import batch as batch_ops
+    from smithwaterman_tpu.ops import longseq
+
+    NL, ML = (4096, 2048) if args.quick else (8192, 4096)
+    c1 = rng.integers(0, 20, size=(8, NL)).astype(np.int32)
+    c2 = rng.integers(0, 20, size=(8, ML)).astype(np.int32)
+    S = batch_ops.scores_tiled(
+        jnp.asarray(sm.table), c1, c2, as_int8=True, tile=8
+    )
+    n = np.full(8, NL, np.int32)
+    m = np.full(8, ML, np.int32)
+    longseq.align_long(S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)  # warm
+    t0 = time.time()
+    longseq.align_long(S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)
+    dt = time.time() - t0
+    emit(metric="longseq_align_s", value=round(dt, 3), pairs=8,
+         bucket=f"{NL}x{ML}",
+         gcups_effective=round(8 * NL * ML / dt / 1e9, 2))
+
+    # striped fill: one very wide pair on the (single-chip) mesh
+    from smithwaterman_tpu.parallel import make_mesh
+    from smithwaterman_tpu.parallel.seq_tiled import striped_fill
+
+    NS, MS = (1024, 16384) if args.quick else (2048, 65536)
+    mesh = make_mesh(1)
+    Sg = (
+        rng.integers(-4, 12, size=(1, NS, MS)).astype(np.float32)
+    )
+    nv = np.full(1, NS, np.int32)
+    mv = np.full(1, MS, np.int32)
+    out = striped_fill(jnp.asarray(Sg), jnp.asarray(nv), jnp.asarray(mv),
+                       mode=LOCAL, og=-10.0, eg=-0.5, block_rows=64,
+                       mesh=mesh)
+    _force(out)
+    t0 = time.time()
+    out = striped_fill(jnp.asarray(Sg + 0.0), jnp.asarray(nv),
+                       jnp.asarray(mv), mode=LOCAL, og=-10.0, eg=-0.5,
+                       block_rows=64, mesh=mesh)
+    _force(out)
+    dt = time.time() - t0
+    emit(metric="striped_fill_s", value=round(dt, 3), bucket=f"{NS}x{MS}",
+         gcups=round(NS * MS / dt / 1e9, 2), devices=1)
+
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"wrote {args.out} ({len(rows)} rows)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

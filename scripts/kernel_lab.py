@@ -63,9 +63,10 @@ def _lab_kernel(
     rb = pl.program_id(1)
     if i16:
         dt = jnp.int16
-        og = jnp.int16(int(2 * og))
-        eg = jnp.int16(int(2 * eg))
-        sent = jnp.int16(10 * int(og) + 10 * int(eg))
+        og2, eg2 = int(2 * og), int(2 * eg)
+        og = jnp.int16(og2)
+        eg = jnp.int16(eg2)
+        sent = jnp.int16(10 * og2 + 10 * eg2)
         NEGv = jnp.int16(-20000)
         zero, mone = jnp.int16(0), jnp.int16(-2)
     else:
