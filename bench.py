@@ -46,7 +46,7 @@ def main():
     mt = jnp.full((G, tile, 1), MP, jnp.int32)
 
     @jax.jit
-    def chain(S):
+    def chain(S, nt0):
         def body(nmt, _):
             nt_c, mt_c = nmt
             tb, stats = pallas_dp.fill_tiled(
@@ -57,16 +57,20 @@ def main():
             # depends on this one's output without copying S
             bump = (stats[0, 0, 0] * 0.0).astype(jnp.int32)
             return (nt_c + bump, mt_c + bump), stats[0, 0, 0]
-        _, scores = jax.lax.scan(body, (nt, mt), None, length=ncall)
+        _, scores = jax.lax.scan(body, (nt0, mt), None, length=ncall)
         return scores
 
-    r = chain(S0)
-    jax.block_until_ready(r)  # compile + warm
+    # timing robustness on the axon tunnel: (a) read a VALUE back per
+    # measurement (block_until_ready can return early), (b) feed a fresh
+    # nt buffer per call (identical (program, args) executions are cached)
+    r = chain(S0, nt)
+    float(np.asarray(r)[-1])  # compile + warm
     dt = None
     for _ in range(3):  # best of 3 chains (tunnel dispatch jitter)
+        nt_k = jnp.asarray(np.asarray(nt))  # fresh device buffer
         t0 = time.time()
-        r = chain(S0)
-        jax.block_until_ready(r)
+        r = chain(S0, nt_k)
+        float(np.asarray(r)[-1])
         d = (time.time() - t0) / ncall
         dt = d if dt is None else min(dt, d)
 

@@ -93,9 +93,18 @@ def _lab_kernel(
         i = rb * rb_rows + r + 1
         srow = srow_all
         at_first = i == 1
-        fill_m = jnp.where(at_first, zero, sent)
-        fill_x = jnp.where(at_first, mone, sent)
-        fill_y = jnp.where(at_first, mone, zero)
+        # vector-shaped fills: Mosaic has no scalar i16 select
+        fsh = (tbp // nchain, 1)
+
+        def fillv(a, b):
+            return jnp.where(
+                jnp.broadcast_to(at_first, fsh),
+                jnp.full(fsh, a, dt), jnp.full(fsh, b, dt),
+            )
+
+        fill_m = fillv(zero, sent)
+        fill_x = fillv(mone, sent)
+        fill_y = fillv(mone, zero)
 
         if fuse_max3:
             U = jnp.maximum(Mp, Xp)

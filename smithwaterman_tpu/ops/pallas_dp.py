@@ -38,16 +38,33 @@ Layout: callers pass S (and receive tb) as ``(G, NP, TBP, MP)`` where
 ``B = G*TBP`` pairs — each row slab ``(TBP, MP)`` is then a native
 (sublane, lane) tile, so the row loop never re-lays-out data.
 
-Performance notes (measured, v5e, 512 pairs of 512x512): ~24 GCUPS with
-traceback, ~29 score-only at tile=128.  Ablations show the limiter is VMEM
-traffic for the inter-row carry state (the M/X/Y rows plus intermediates;
-eliminating the dependency entirely measures ~61 GCUPS), not the
-elementwise op count (removing the 9-step cummax or the pointer cascades
-barely moves the time) and not the argmax arrays (GLOBAL == LOCAL speed).
-Measured levers for later rounds: the per-row S-block read + int8->f32
-cast costs ~20% (ablation: 21.0 -> 25.6 GCUPS score-only without it);
-int16 carries measured no gain; register-chaining rows measured no gain
-(values spill regardless at tile=128).
+Performance notes (measured honestly in r2 — chained execution + forced
+device->host value reads; the axon tunnel caches identical executions AND
+returns early from block_until_ready, which contaminated the r1 ablation
+notes.  v5e, 512 pairs of 512x512, tile=128):
+
+  * ~23 GCUPS with traceback, ~33-35 score-only after the r2 changes
+    (fused max3 shift for score-only, LOCAL h0-fold elimination, R=8 row
+    groups).
+  * The kernel is ISSUE-BOUND at ~1 vector op/cycle: per-row wide-op count
+    x 64 vreg-issues/op x rows matches wall time within ~5%.  Op-count
+    reduction is the only lever; nothing else moved the needle
+    (f32-vs-int8 S: -2%; mask removal: 0; dual chains: negative; tile
+    64/256: negative/flat; bigger row blocks: flat).
+  * The 9-step lane cummax for the X state is ~34% of score-only time
+    (zero-cost-scan ablation: 44.6 vs 29.4 GCUPS) and is the exactness-
+    mandated floor: Hillis-Steele over 512 lanes is 18 of the ~31 wide
+    ops per row.  44.6 GCUPS is therefore the measured ceiling of this
+    row formulation with the scan removed — reaching it needs a cheaper
+    exact scan, not micro-tuning.
+  * int16 x2-score-domain (halves vreg issues) is BLOCKED by the current
+    Mosaic toolchain: vector<8x128x2xi16> arith.maxsi fails to legalize
+    (scripts/kernel_lab.py 'i16' variants keep the experiment).
+  * Traceback adds only ~12% over score-only (pointer cascades co-
+    schedule well); the tb byte stream is noise (134 MB @ 819 GB/s).
+
+All lab variants and the honest-timing harness live in
+scripts/kernel_lab.py.
 """
 
 from __future__ import annotations
@@ -228,11 +245,21 @@ def _kernel(
         fill_y = jnp.where(at_first, -1.0, lsc_im1)
 
         # ---- M: from (i-1, j-1); tie order M >= X >= Y (rs:139-158)
-        Mp1 = _shift_right(Mp, fill_m)
-        Xp1 = _shift_right(Xp, fill_x)
-        Yp1 = _shift_right(Yp, fill_y)
-        val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
-        if not score_only:
+        if score_only:
+            # values-only: max3 is associative, so shift ONCE after the
+            # max instead of shifting all three states (measured +11%;
+            # the boundary fill of the fused shift is the max of the
+            # three per-state fills — exactly what the three shifted
+            # lanes would produce at lane 0)
+            U = jnp.maximum(Mp, Xp)
+            W3 = jnp.maximum(U, Yp)
+            fill_w = jnp.maximum(jnp.maximum(fill_m, fill_x), fill_y)
+            val_m = _shift_right(W3, fill_w) + srow
+        else:
+            Mp1 = _shift_right(Mp, fill_m)
+            Xp1 = _shift_right(Xp, fill_x)
+            Yp1 = _shift_right(Yp, fill_y)
+            val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
             m_ge_x = Mp1 >= Xp1
             m_ge_y = Mp1 >= Yp1
             x_ge_y = Xp1 >= Yp1
@@ -244,7 +271,7 @@ def _kernel(
         if mode == LOCAL:
             if score_only:
                 # values only: the tie cascade picks among equal maxima
-                val_y = jnp.maximum(jnp.maximum(Mp, Xp) + og, Yp + eg)
+                val_y = jnp.maximum(U + og, Yp + eg)
             else:
                 # rs:233-252 — `>=` favors M-open; inner `>` favors X on ties
                 c1 = Mp + og >= Yp + eg
@@ -282,9 +309,16 @@ def _kernel(
         hraw = _shift_right(gline, g0)
         lpe = lanef * pe if mode == GLOCAL else lanef_pe
         h = hraw - lpe
-        h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp, 1)),
-                         x0b + pe)
-        h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp, mp)), h)
+        if mode == LOCAL:
+            # lane 0 already holds g0 (lanef=0): the boundary-X term
+            # x0b + pe = sent + eg never exceeds g0 = og in LOCAL
+            # (og - sent - eg = -9*og - 11*eg > 0 for negative penalties),
+            # so the h0 fold is a no-op — skip both ops
+            pass
+        else:
+            h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp, 1)),
+                             x0b + pe)
+            h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp, mp)), h)
         c = _cummax_lanes(h, mp)
         val_x = c + lpe
         if mode == LOCAL:
@@ -339,8 +373,12 @@ def _kernel(
         return val_m, val_x, val_y, rbv, rbi, accv
 
     # rows chained in registers per loop iteration; scratch touched once
-    # per group
-    R = 4 if rb_rows % 4 == 0 else (2 if rb_rows % 2 == 0 else 1)
+    # per group (R=8 measured best with fused max3: 33 vs 29 GCUPS
+    # score-only; see scripts/kernel_lab.py)
+    R = 1
+    for cand in (2, 4, 8):
+        if rb_rows % cand == 0:
+            R = cand
 
     def group_step(g, _):
         Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
