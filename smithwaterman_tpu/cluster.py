@@ -18,6 +18,12 @@ Behavioral parity with the reference's ``-cluster`` mode
 TPU-native difference: within one greedy row every candidate alignment is
 independent, so the whole row is dispatched as one bucketed batch instead of
 the reference's serial aligner calls — identical results, device-sized work.
+Rows are the parallelism ceiling for EXACT parity: which sequences remain
+unclustered when representative ii is processed depends on every earlier
+row's merges, so cross-row batching would change results.  (Approximate
+speedups — e.g. optimistic cross-row batching with invalidation — belong
+behind a flag if ever needed; all-vs-all scoring without the greedy
+dependency is what `sweep.py` is for.)
 """
 
 from __future__ import annotations

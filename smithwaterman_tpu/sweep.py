@@ -110,16 +110,21 @@ def sweep(
     return completed
 
 
-def load_sweep(out_path: str) -> List[List]:
-    """Flatten a sweep results file into one list of result rows."""
-    rows: List[List] = []
+def iter_sweep(out_path: str) -> Iterator[List]:
+    """Stream result rows from a sweep file one chunk-line at a time
+    (pod-scale sweeps should not materialize every pair in memory)."""
     with open(out_path) as f:
         for line in f:
             try:
-                rows.extend(json.loads(line)["results"])
+                results = json.loads(line)["results"]
             except (json.JSONDecodeError, KeyError):
                 continue
-    return rows
+            yield from results
+
+
+def load_sweep(out_path: str) -> List[List]:
+    """Flatten a sweep results file into one list of result rows."""
+    return list(iter_sweep(out_path))
 
 
 def score_matrix(
@@ -138,9 +143,9 @@ def score_matrix(
     n1 = len(set1)
     n2 = n1 if set2 is None else len(set2)
     mat = np.zeros((n1, n2), np.float32)
-    expected = len(list(_pair_indices(n1, None if set2 is None else n2)))
+    expected = sum(1 for _ in _pair_indices(n1, None if set2 is None else n2))
     seen = 0
-    for row in load_sweep(out_path):
+    for row in iter_sweep(out_path):
         i, j, s = int(row[0]), int(row[1]), float(row[2])
         mat[i, j] = s
         if set2 is None:
