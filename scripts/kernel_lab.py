@@ -12,6 +12,24 @@ Usage:  python -u scripts/kernel_lab.py [variant ...]
 
 Variants are perf experiments only — correctness of kept ideas is enforced
 by porting them into ops/pallas_dp.py under tests/test_pallas_kernel.py.
+
+r2 conclusions (512 pairs x 512x512, LOCAL; compare only WITHIN one
+process — cross-process variance is ~±15%):
+  * base-i8 ~29 GCUPS score-only / ~22 traceback; the kernel runs AT the
+    VPU's ~1-vector-op/cycle issue throughput, so only op-count matters.
+  * KEPT (ported to ops/pallas_dp.py): fuse_max3 (+11%), LOCAL h0-fold
+    skip, R=8 row groups (fuse+R8 = 33.0 score-only).
+  * NO GAIN: f32 S (-2%), nomask, nchain 2/4 (ILP splits spill), tile 64
+    (-25%) / 256 (flat), rb16-f32, R8/R16 without fuse.
+  * fakecummax = 44.6 GCUPS: the ceiling with the X-scan free — the scan
+    (18 of ~31 wide ops/row) is the exactness-mandated floor.
+  * i16 x2-domain (the 2x lever): BLOCKED — Mosaic fails to legalize
+    vector<8x128x2xi16> arith.maxsi (and int16 reductions).  Re-run the
+    i16 variants after toolchain updates; the kernel code here is ready.
+  * Timing pitfalls (cost r1 a wrong diagnosis): chain executions AND
+    force a device->host value read per measurement AND vary an input
+    buffer per call — block_until_ready returns early on the axon tunnel
+    and identical (program, args) executions are served from cache.
 """
 
 from __future__ import annotations
