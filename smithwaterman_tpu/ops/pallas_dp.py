@@ -282,6 +282,9 @@ def _kernel(
                     jnp.where(c2, Mp + og, Xp + og),
                     jnp.where(c3, Yp + eg, Xp + og),
                 )
+        elif score_only:
+            # values only: fold max(Mp+qo, Xp+qo) through the shared U
+            val_y = jnp.maximum(U + qo, Yp + qe)
         else:
             # rs:192-211 — strict `>` for M-open vs Y-extend
             c1 = Mp + qo > Yp + qe
