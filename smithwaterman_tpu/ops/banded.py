@@ -357,6 +357,14 @@ def walk_banded(
     cell where out-of-band alternatives geometrically exist, i.e. the band
     may have constrained the result (banded alignment is a heuristic:
     results equal the full DP only when the optimal path fits the band)."""
+    from .traceback import native_walk_banded
+
+    native = native_walk_banded(tb, off, si, sj, state, local, W, m)
+    if native == ("exceeded",):
+        raise BandExceeded(f"path left band starting at ({si},{sj})")
+    if native is not None:
+        return native
+
     r1: List[int] = []
     r2: List[int] = []
     edge_touched = False

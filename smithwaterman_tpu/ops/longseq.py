@@ -74,6 +74,12 @@ def walk_band(
     (i_top + r + 1, j_off + c + 1).  Returns
     (idx1_chunk, idx2_chunk, i, j, s, status) with chunks in walk
     (reverse-path) order and global 0-based indices."""
+    from .traceback import native_walk_band
+
+    native = native_walk_band(tb_band, i_top, j_off, i, j, s, local)
+    if native is not None:
+        return native
+
     r1: List[int] = []
     r2: List[int] = []
     width = tb_band.shape[1]

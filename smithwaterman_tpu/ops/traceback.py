@@ -65,18 +65,93 @@ def _load_native():
         return None
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cand = os.path.join(here, "_native", "libswtrace.so")
-    if not os.path.exists(cand):
-        _try_build(here)
+    # make is a no-op when the .so is newer than csrc/ (and rebuilds stale
+    # libraries that predate newer entry points)
+    _try_build(here)
     if os.path.exists(cand):
         try:
             lib = ctypes.CDLL(cand)
             for fn in (lib.sw_traceback, lib.sw_traceback_tiled):
                 fn.restype = ctypes.c_int64
                 fn.argtypes = _ARGTYPES
+            i64 = ctypes.c_int64
+            pi64 = ctypes.POINTER(ctypes.c_int64)
+            pu8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.sw_walk_band.restype = i64
+            lib.sw_walk_band.argtypes = [
+                pu8, i64, i64, i64, pi64, i64, pi64, pi64, i64, pi64,
+            ]
+            lib.sw_walk_banded.restype = i64
+            lib.sw_walk_banded.argtypes = [
+                pu8, i64, ctypes.POINTER(ctypes.c_int32), i64, i64, i64,
+                i64, i64, pi64, pi64, i64, pi64,
+            ]
             _LIB = lib
         except (OSError, AttributeError):
             _LIB = None
     return _LIB
+
+
+def native_walk_band(tb_band, i_top, j_off, i, j, s, local):
+    """Native band-window walk; returns None when the library is
+    unavailable, else (idx1_chunk, idx2_chunk, i, j, s, status) with the
+    exact contract of ops/longseq.walk_band."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "sw_walk_band"):
+        return None
+    tbc = np.ascontiguousarray(tb_band)
+    C, width = tbc.shape
+    cap = int(i + j + 2)
+    o1 = np.empty(cap, dtype=np.int64)
+    o2 = np.empty(cap, dtype=np.int64)
+    ijs = np.array([i, j, s], dtype=np.int64)
+    status = np.zeros(1, dtype=np.int64)
+    count = lib.sw_walk_band(
+        tbc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        width, i_top, j_off,
+        ijs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if local else 0,
+        o1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        o2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if count < 0:
+        return None  # fall back to python on error
+    return (
+        o1[:count].tolist(), o2[:count].tolist(),
+        int(ijs[0]), int(ijs[1]), int(ijs[2]), int(status[0]),
+    )
+
+
+def native_walk_banded(tb, off, si, sj, state, local, W, m):
+    """Native diagonal-band walk; returns None when unavailable, else
+    (idx1, idx2, edge_touched) with ops/banded.walk_banded's contract.
+    Raises nothing — a band violation returns the sentinel ('exceeded',)."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "sw_walk_banded"):
+        return None
+    tbc = np.ascontiguousarray(tb)
+    offc = np.ascontiguousarray(np.asarray(off, np.int32))
+    cap = int(si + sj + 2)
+    o1 = np.empty(cap, dtype=np.int64)
+    o2 = np.empty(cap, dtype=np.int64)
+    edge = np.zeros(1, dtype=np.int64)
+    count = lib.sw_walk_banded(
+        tbc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        W,
+        offc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        si, sj, state, 1 if local else 0, m,
+        o1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        o2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+        edge.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if count == -2:
+        return ("exceeded",)
+    if count < 0:
+        return None
+    return o1[:count][::-1].tolist(), o2[:count][::-1].tolist(), bool(edge[0])
 
 
 def walk(

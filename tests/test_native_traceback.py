@@ -78,3 +78,45 @@ def test_native_strided_view():
             lambda: traceback.walk_tiled(view, int(res.best_i[b]), int(res.best_j[b]), CELL_MATCH, True),
         )
         assert py == nat
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_native_band_walkers_match_python(mode):
+    """The C++ band-window walk (longseq) and diagonal-band walk (banded)
+    must reproduce the Python walkers' chunks/status/edge flags exactly."""
+    from smithwaterman_tpu.ops import banded, longseq
+
+    sm = SubstitutionMatrix.blosum62()
+    codes1 = RNG.integers(0, 20, size=120).astype(np.int32)
+    codes2 = np.concatenate([codes1[5:100], RNG.integers(0, 20, size=30)]).astype(np.int32)
+
+    # banded walk parity
+    def run_banded():
+        return banded.align_banded(
+            codes1, codes2, sm.table, mode=mode, og=-10.0, eg=-0.5,
+            band=128, interpret=True,
+        )
+    got_native = _with_native(True, run_banded)
+    got_python = _with_native(False, run_banded)
+    assert got_native == got_python
+
+    # longseq band-window walk parity (small ckpt to force several bands
+    # and window re-gathers)
+    c1b = codes1[None, :].repeat(8, axis=0)
+    c2b = codes2[None, :].repeat(8, axis=0)
+    S = np.asarray(batch.scores_tiled(
+        sm.table, np.ascontiguousarray(c1b), np.ascontiguousarray(c2b),
+        as_int8=True, tile=TB,
+    ))
+    n = np.full(8, len(codes1), np.int32)
+    m = np.full(8, len(codes2), np.int32)
+
+    def run_long():
+        return longseq.align_long(
+            S, n, m, mode=mode, og=-10.0, eg=-0.5, ckpt_rows=8, window=128,
+            interpret=True,
+        )
+    idx_nat, st_nat = _with_native(True, run_long)
+    idx_py, st_py = _with_native(False, run_long)
+    np.testing.assert_array_equal(st_nat, st_py)
+    assert idx_nat == idx_py
