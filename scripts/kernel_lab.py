@@ -55,13 +55,13 @@ def _shift_right(v, fill):
     return jnp.concatenate([pad, v[:, :-1]], axis=1)
 
 
-def _cummax_lanes(v, width: int, fill):
+def _cummax_lanes(v, width: int, fill, jm=jnp.maximum):
     sh = 1
     while sh < width:
         shifted = jnp.concatenate(
             [jnp.full(v.shape[:-1] + (sh,), fill, v.dtype), v[:, :-sh]], axis=1
         )
-        v = jnp.maximum(v, shifted)
+        v = jm(v, shifted)
         sh *= 2
     return v
 
@@ -70,7 +70,7 @@ def _lab_kernel(
     bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
-    tb_ref=None,
+    selmax=False, tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -78,6 +78,11 @@ def _lab_kernel(
     half-integers, so 2x values are ints; exact for |2v| < 32767, i.e.
     buckets up to ~1400 rows with BLOSUM62).  Halves per-op vreg count.
     """
+    if selmax:
+        def jm(a, b):  # i16 probe: Mosaic rejects vector maxsi, try cmp+select
+            return jnp.where(a > b, a, b)
+    else:
+        jm = jnp.maximum
     rb = pl.program_id(1)
     if i16:
         dt = jnp.int16
@@ -125,17 +130,17 @@ def _lab_kernel(
         fill_y = fillv(mone, zero)
 
         if fuse_max3:
-            U = jnp.maximum(Mp, Xp)
-            W = jnp.maximum(U, Yp)
-            fill_w = jnp.maximum(jnp.maximum(fill_m, fill_x), fill_y)
+            U = jm(Mp, Xp)
+            W = jm(U, Yp)
+            fill_w = jm(jm(fill_m, fill_x), fill_y)
             val_m = _shift_right(W, fill_w) + srow
-            val_y = jnp.maximum(U + og, Yp + eg)
+            val_y = jm(U + og, Yp + eg)
         else:
             Mp1 = _shift_right(Mp, fill_m)
             Xp1 = _shift_right(Xp, fill_x)
             Yp1 = _shift_right(Yp, fill_y)
-            val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
-            val_y = jnp.maximum(jnp.maximum(Mp, Xp) + og, Yp + eg)
+            val_m = jm(jm(Mp1, Xp1), Yp1) + srow
+            val_y = jm(jm(Mp, Xp) + og, Yp + eg)
 
         if i16:
             p0, p1, p2, p3 = (jnp.int16(v) for v in (0, 1, 2, 3))
@@ -156,15 +161,15 @@ def _lab_kernel(
             c3 = Yp + eg > Xp + og
             prev_y = jnp.where(c1, jnp.where(c2, p0, p1), jnp.where(c3, p2, p1))
 
-        val_m = jnp.maximum(val_m, zero)
-        val_y = jnp.maximum(val_y, zero)
+        val_m = jm(val_m, zero)
+        val_y = jm(val_y, zero)
 
         x0b = sent  # local lsc_i = 0
         g0 = og
-        gline = jnp.maximum(val_m, val_y) + og
+        gline = jm(val_m, val_y) + og
         hraw = _shift_right(gline, g0)
         h = hraw - lanef_pe
-        h0 = jnp.maximum(
+        h0 = jm(
             jnp.broadcast_to(jnp.asarray(g0), (tbp // nchain, 1)).astype(dt),
             x0b + eg,
         )
@@ -172,9 +177,9 @@ def _lab_kernel(
         if fake_cummax:
             c = h + h  # ablation: keep the dep, drop the scan
         else:
-            c = _cummax_lanes(h, mp, NEGv)
+            c = _cummax_lanes(h, mp, NEGv, jm)
         val_x = c + lanef_pe
-        val_x = jnp.maximum(val_x, zero)
+        val_x = jm(val_x, zero)
 
         if traceback:
             Mm1 = _shift_right(val_m, sent)
@@ -195,12 +200,12 @@ def _lab_kernel(
             tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = packed.astype(jnp.uint8)
 
         if nomask:
-            rbv = jnp.maximum(rbv, val_m)
+            rbv = jm(rbv, val_m)
         else:
             # baseline masking (lengths==padded here, mask vs constants)
             in_range = jl < mp
             masked = jnp.where(in_range, val_m, NEGv)
-            rbv = jnp.maximum(rbv, masked)
+            rbv = jm(rbv, masked)
         return val_m, val_x, val_y, rbv
 
     def group_step(g, _):
@@ -242,12 +247,12 @@ def _lab_kernel(
     jax.jit,
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
-        "traceback", "rb_rows", "i16",
+        "traceback", "rb_rows", "i16", "selmax",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
-    rb_rows, i16=False,
+    rb_rows, i16=False, selmax=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -256,6 +261,7 @@ def lab_fill(
         og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
+        selmax=selmax,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -369,6 +375,21 @@ def main():
         "i16-R8": (S128_i8, {**base_i8, "i16": True, "R": 8}),
         "i16-fuse-R8": (
             S128_i8, {**base_i8, "i16": True, "fuse_max3": True, "R": 8}
+        ),
+        "i16-selmax": (S128_i8, {**base_i8, "i16": True, "selmax": True}),
+        "i16-selmax-fuse-R8": (
+            S128_i8,
+            {**base_i8, "i16": True, "selmax": True, "fuse_max3": True,
+             "R": 8},
+        ),
+        "tb-i16-selmax-fuse-R8": (
+            S128_i8,
+            {**base_i8, "i16": True, "selmax": True, "fuse_max3": True,
+             "R": 8, "traceback": True},
+        ),
+        "f32-selmax-fuse-R8": (
+            S128_i8,
+            {**base_i8, "selmax": True, "fuse_max3": True, "R": 8},
         ),
         "i16-fuse-R16": (
             S128_i8, {**base_i8, "i16": True, "fuse_max3": True, "R": 16}
