@@ -70,7 +70,7 @@ def _lab_kernel(
     bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
-    selmax=False, tb_ref=None,
+    selmax=False, ptrfast=False, tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -134,7 +134,9 @@ def _lab_kernel(
             W = jm(U, Yp)
             fill_w = jm(jm(fill_m, fill_x), fill_y)
             val_m = _shift_right(W, fill_w) + srow
-            val_y = jm(U + og, Yp + eg)
+            Ue = U + og
+            Ye = Yp + eg
+            val_y = jm(Ue, Ye)
         else:
             Mp1 = _shift_right(Mp, fill_m)
             Xp1 = _shift_right(Xp, fill_x)
@@ -146,7 +148,31 @@ def _lab_kernel(
             p0, p1, p2, p3 = (jnp.int16(v) for v in (0, 1, 2, 3))
         else:
             p0, p1, p2, p3 = 0, 1, 2, 3
-        if traceback:
+        if traceback and ptrfast:
+            # argmax of (M, X, Y) computed pre-shift (tie order M >= X >= Y),
+            # then the packed 2-bit result is shifted ONCE; boundary lane 0
+            # resolves to 0 (i==1) / 2 (else) in every mode (fills are
+            # (0,-1,-1) / (L+sent, L+sent, L) with sent < 0)
+            pm_pre = jnp.where(
+                Mp >= Xp,
+                jnp.where(Mp >= Yp, p0, p2),
+                jnp.where(Xp >= Yp, p1, p2),
+            )
+            fill_pm = jnp.where(
+                jnp.broadcast_to(at_first, fsh),
+                jnp.zeros(fsh, jnp.int32), jnp.full(fsh, 2, jnp.int32),
+            )
+            prev_m = _shift_right(pm_pre, fill_pm)
+            # Y-extend wins the cascade iff it strictly beats BOTH opens,
+            # i.e. Ye > max(Mp,Xp)+og = Ue (one cmp, operands reused from
+            # val_y).  In the else branch Ue >= Ye holds, so the old
+            # c1 = (Mp+og >= Ye) is implied by c2 = (Mp > Xp) (then
+            # Ue = Mp+og) and irrelevant when !c2 — just select on c2.
+            # Constants pre-shifted <<4.
+            ygt = Ye > Ue
+            c2 = Mp > Xp
+            prev_y = jnp.where(ygt, 32, jnp.where(c2, 0, 16))
+        elif traceback:
             Mp1t = _shift_right(Mp, fill_m)
             Xp1t = _shift_right(Xp, fill_x)
             Yp1t = _shift_right(Yp, fill_y)
@@ -181,7 +207,22 @@ def _lab_kernel(
         val_x = c + lanef_pe
         val_x = jm(val_x, zero)
 
-        if traceback:
+        if traceback and ptrfast:
+            # X-extend wins iff Xm1+eg strictly beats BOTH opens, whose max
+            # is exactly hraw = shift(max(val_m, val_y) + og) — already
+            # computed for the scan (lane 0: x0b+eg > g0 is never true, and
+            # the M-vs-Y fill resolves to Y=8, matching the old cascade)
+            Xm1 = _shift_right(val_x, x0b)
+            x_wins = Xm1 + eg > hraw
+            myp = jnp.where(val_m > val_y, 0, 8)  # constants pre-shifted <<2
+            my = _shift_right(myp, 8)
+            prev_x = jnp.where(x_wins, 4, my)
+            prev_m = jnp.where(val_m == zero, 3, prev_m)
+            prev_x = jnp.where(val_x == zero, 12, prev_x)
+            prev_y = jnp.where(val_y == zero, 48, prev_y)
+            packed = prev_m | prev_x | prev_y
+            tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = packed.astype(jnp.uint8)
+        elif traceback:
             Mm1 = _shift_right(val_m, sent)
             Xm1 = _shift_right(val_x, x0b)
             Ym1 = _shift_right(val_y, zero)
@@ -247,21 +288,25 @@ def _lab_kernel(
     jax.jit,
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
-        "traceback", "rb_rows", "i16", "selmax",
+        "traceback", "rb_rows", "i16", "selmax", "ptrfast", "interpret",
+        "return_tb",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
-    rb_rows, i16=False, selmax=False,
+    rb_rows, i16=False, selmax=False, ptrfast=False, interpret=False,
+    return_tb=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
+    if ptrfast:
+        assert fuse_max3 and not i16, "ptrfast needs fused values, f32 domain"
     kernel = functools.partial(
         _lab_kernel,
         og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
-        selmax=selmax,
+        selmax=selmax, ptrfast=ptrfast,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -297,13 +342,13 @@ def lab_fill(
             kfn, grid=(G, n_row_blocks), in_specs=in_specs,
             out_shape=(tb_shape, stats_shape),
             out_specs=(tb_spec, stats_spec),
-            scratch_shapes=scratch, compiler_params=cp,
+            scratch_shapes=scratch, compiler_params=cp, interpret=interpret,
         )(bump, S)
-        return stats
+        return (tb, stats) if return_tb else stats
     stats = pl.pallas_call(
         kfn, grid=(G, n_row_blocks), in_specs=in_specs,
         out_shape=stats_shape, out_specs=stats_spec,
-        scratch_shapes=scratch, compiler_params=cp,
+        scratch_shapes=scratch, compiler_params=cp, interpret=interpret,
     )(bump, S)
     return stats
 
@@ -407,6 +452,19 @@ def main():
         "tb-fuseR8-i8": (
             S128_i8,
             {**base_i8, "fuse_max3": True, "R": 8, "traceback": True},
+        ),
+        "tb-ptrfast-R8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True},
+        ),
+        "tb-ptrfast-R16-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 16, "traceback": True,
+             "ptrfast": True},
+        ),
+        "fuseR16-i8": (
+            S128_i8, {**base_i8, "fuse_max3": True, "R": 16}
         ),
         "base-f32": (S_f32, base),
         "fuse-f32": (S_f32, {**base, "fuse_max3": True}),

@@ -70,6 +70,7 @@ scripts/kernel_lab.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
 TB = 8   # minimum tile granularity (VPU sublane count)
+# largest in-register row group (see R selection in _kernel); env-tunable
+# so perf A/B runs need no source edit
+_MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "16"))
 DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
 BIGI = 2**30  # "unset" argmax sentinel (python int: kernels must not capture tracers)
@@ -245,54 +249,63 @@ def _kernel(
         fill_y = jnp.where(at_first, -1.0, lsc_im1)
 
         # ---- M: from (i-1, j-1); tie order M >= X >= Y (rs:139-158)
-        if score_only:
-            # values-only: max3 is associative, so shift ONCE after the
-            # max instead of shifting all three states (measured +11%;
-            # the boundary fill of the fused shift is the max of the
-            # three per-state fills — exactly what the three shifted
-            # lanes would produce at lane 0)
-            U = jnp.maximum(Mp, Xp)
-            W3 = jnp.maximum(U, Yp)
-            fill_w = jnp.maximum(jnp.maximum(fill_m, fill_x), fill_y)
-            val_m = _shift_right(W3, fill_w) + srow
-        else:
-            Mp1 = _shift_right(Mp, fill_m)
-            Xp1 = _shift_right(Xp, fill_x)
-            Yp1 = _shift_right(Yp, fill_y)
-            val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
-            m_ge_x = Mp1 >= Xp1
-            m_ge_y = Mp1 >= Yp1
-            x_ge_y = Xp1 >= Yp1
-            prev_m = jnp.where(
-                m_ge_x, jnp.where(m_ge_y, 0, 2), jnp.where(x_ge_y, 1, 2)
-            )
-
-        # ---- Y: gap in seq2, from (i-1, j) (prev row, same j)
-        if mode == LOCAL:
-            if score_only:
-                # values only: the tie cascade picks among equal maxima
-                val_y = jnp.maximum(U + og, Yp + eg)
-            else:
-                # rs:233-252 — `>=` favors M-open; inner `>` favors X on ties
-                c1 = Mp + og >= Yp + eg
-                c2 = Mp > Xp
-                c3 = Yp + eg > Xp + og
-                val_y = jnp.where(
-                    c1,
-                    jnp.where(c2, Mp + og, Xp + og),
-                    jnp.where(c3, Yp + eg, Xp + og),
-                )
-        elif score_only:
-            # values only: fold max(Mp+qo, Xp+qo) through the shared U
-            val_y = jnp.maximum(U + qo, Yp + qe)
-        else:
-            # rs:192-211 — strict `>` for M-open vs Y-extend
-            c1 = Mp + qo > Yp + qe
-            c2 = Mp >= Xp
-            c3 = Yp + qe >= Xp + qo
-            val_y = jnp.maximum(jnp.maximum(Mp + qo, Yp + qe), Xp + qo)
+        # max3 is associative, so shift ONCE after the max instead of
+        # shifting all three states (measured +11%; the boundary fill of
+        # the fused shift is the max of the three per-state fills —
+        # exactly what the three shifted lanes would produce at lane 0)
+        U = jnp.maximum(Mp, Xp)
+        W3 = jnp.maximum(U, Yp)
+        fill_w = jnp.maximum(jnp.maximum(fill_m, fill_x), fill_y)
+        val_m = _shift_right(W3, fill_w) + srow
         if not score_only:
-            prev_y = jnp.where(c1, jnp.where(c2, 0, 1), jnp.where(c3, 2, 1))
+            # ptrfast (r2, +29% on the traceback path): the 2-bit argmax
+            # is computed PRE-shift and the packed result shifted once,
+            # replacing three state shifts + cascade.  Bit-identical to
+            # the per-state-shift cascade (same >= chains); lane 0
+            # resolves to M at i==1 (fills 0/-1/-1) else to the cascade
+            # on (lsc+sent, lsc+sent, lsc): Y for sent<0, M for sent==0.
+            pm_pre = jnp.where(
+                Mp >= Xp,
+                jnp.where(Mp >= Yp, 0, 2),
+                jnp.where(Xp >= Yp, 1, 2),
+            )
+            fill2 = 0 if sent >= 0.0 else 2
+            fill_pm = jnp.where(
+                jnp.broadcast_to(at_first, (tbp, 1)),
+                jnp.zeros((tbp, 1), jnp.int32),
+                jnp.full((tbp, 1), fill2, jnp.int32),
+            )
+            prev_m = _shift_right(pm_pre, fill_pm)
+
+        # ---- Y: gap in seq2, from (i-1, j) (prev row, same j).
+        # Values fold max(Mp+o, Xp+o) through the shared U = max(Mp, Xp);
+        # the tie cascade (rs:233-252 LOCAL / rs:192-211 otherwise) picks
+        # among equal maxima, so values-by-max is exact.
+        if mode == LOCAL:
+            Ue = U + og
+            Ye = Yp + eg
+        else:
+            Ue = U + qo
+            Ye = Yp + qe
+        val_y = jnp.maximum(Ue, Ye)
+        if not score_only:
+            # ptrfast: Y-extend wins the cascade iff it beats BOTH opens,
+            # whose max is exactly Ue; otherwise the M-vs-X tie decides.
+            # The old c1 compare is redundant: in the not-Y branch, the
+            # M-leg has Ue = Mp+o >= Ye (which IS c1) and the X-leg lands
+            # on X-open through either side of c1.  LOCAL tie directions
+            # (rs:233-252): `>=` favors M-open over Y-extend => Y needs
+            # strict `>`; inner `>` favors M over X.  Non-LOCAL
+            # (rs:192-211): strict `>` favors Y on ties => `>=` here, and
+            # M-vs-X flips to `>=`.  Constants pre-shifted <<4 so the
+            # final pack needs no shift ops.
+            if mode == LOCAL:
+                y_wins = Ye > Ue
+                m_over_x = Mp > Xp
+            else:
+                y_wins = Ye >= Ue
+                m_over_x = Mp >= Xp
+            prev_y = jnp.where(y_wins, 32, jnp.where(m_over_x, 0, 16))
 
         if mode == LOCAL:
             val_m = jnp.maximum(val_m, 0.0)
@@ -328,29 +341,38 @@ def _kernel(
             val_x = jnp.maximum(val_x, 0.0)
 
         if not score_only:
-            # X predecessor pointers, recovered elementwise (rs:172-189/214-231)
-            Mm1 = _shift_right(val_m, lsc_i + sent)
+            # ptrfast X pointers (rs:172-189/214-231): X-extend wins the
+            # cascade iff Xm1+pe beats BOTH opens, whose max is exactly
+            # hraw = shift(max(val_m, val_y) + po, g0) — already computed
+            # for the scan.  LOCAL tie directions: X needs strict `>`
+            # (rs:177 `>=` favors M-open; rs:184 `>` favors X over Y) and
+            # the M-vs-Y leg is strict `>`; non-LOCAL flips both to `>=`.
+            # Lane 0: x0b+pe > / >= g0 reduces to 9og+11eg >/>= 0 —
+            # never true for negative penalties (x_wins false) except the
+            # degenerate og=eg=0 non-LOCAL case, where `>=` holds and the
+            # old cascade also resolved to X.  The M-vs-Y compare is done
+            # pre-shift and the 2-bit result shifted once; its lane-0
+            # fill is the compare on (lsc_i+sent, lsc_i), i.e. on sent.
+            # Constants pre-shifted <<2.
             Xm1 = _shift_right(val_x, x0b)
-            Ym1 = _shift_right(val_y, lsc_i)
             if mode == LOCAL:
-                d1 = Mm1 + og >= Xm1 + eg
-                d2 = Mm1 > Ym1
-                d3 = Xm1 + eg > Ym1 + og
+                x_wins = Xm1 + eg > hraw
+                myp = jnp.where(val_m > val_y, 0, 8)
+                fill_my = 8  # sent > 0 never holds
             else:
-                d1 = Mm1 + po > Xm1 + pe
-                d2 = Mm1 >= Ym1
-                d3 = Xm1 + pe >= Ym1 + po
-            prev_x = jnp.where(d1, jnp.where(d2, 0, 2), jnp.where(d3, 1, 2))
+                x_wins = Xm1 + pe >= hraw
+                myp = jnp.where(val_m >= val_y, 0, 8)
+                fill_my = 0 if sent >= 0.0 else 8
+            my = _shift_right(myp, fill_my)
+            prev_x = jnp.where(x_wins, 4, my)
 
             if mode == LOCAL:
                 prev_m = jnp.where(val_m == 0.0, CELL_STOP, prev_m)
-                prev_x = jnp.where(val_x == 0.0, CELL_STOP, prev_x)
-                prev_y = jnp.where(val_y == 0.0, CELL_STOP, prev_y)
+                prev_x = jnp.where(val_x == 0.0, CELL_STOP << 2, prev_x)
+                prev_y = jnp.where(val_y == 0.0, CELL_STOP << 4, prev_y)
 
-            # pack in int32 (Mosaic has no sub-word shifts), then narrow
-            tb_ref[0, r, :, :] = (
-                prev_m | (prev_x << 2) | (prev_y << 4)
-            ).astype(jnp.uint8)
+            # fields carry their final bit positions; pack is 2 ORs
+            tb_ref[0, r, :, :] = (prev_m | prev_x | prev_y).astype(jnp.uint8)
 
         # ---- running best (local): strict `>` keeps the first (smallest) i
         if mode == LOCAL:
@@ -377,10 +399,11 @@ def _kernel(
 
     # rows chained in registers per loop iteration; scratch touched once
     # per group (R=8 measured best with fused max3: 33 vs 29 GCUPS
-    # score-only; see scripts/kernel_lab.py)
+    # score-only; R=16 + ptrfast measured best for traceback in the lab;
+    # see scripts/kernel_lab.py).  SWTPU_MAX_ROWGROUP overrides for A/B.
     R = 1
-    for cand in (2, 4, 8):
-        if rb_rows % cand == 0:
+    for cand in (2, 4, 8, 16):
+        if cand <= _MAX_R and rb_rows % cand == 0:
             R = cand
 
     def group_step(g, _):
@@ -504,8 +527,12 @@ def fill_tiled(
         pltpu.VMEM((tbp, STATS_W), jnp.float32),  # acc
     ]
     grid = (G, n_row_blocks)
+    # vmem_limit_bytes: the default 16 MiB scoped-VMEM cap is exceeded by
+    # the unrolled row-group temporaries at (tile=128, MP>=1024) with
+    # traceback (measured 16.18M on v5e); the chip has 128 MiB VMEM.
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=64 << 20,
     )
     cost = pl.CostEstimate(
         flops=int(G) * tbp * int(NP) * int(MP) * 40,
@@ -630,6 +657,7 @@ def fill_checkpointed(
         scratch_shapes=_scratch(tbp, MP),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 << 20,
         ),
         interpret=interpret,
     )(n, m, S)
@@ -683,6 +711,7 @@ def fill_band(
         scratch_shapes=_scratch(tbp, MP),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 << 20,
         ),
         interpret=interpret,
     )(n, m, i0, icm, icx, icy, S_band)
