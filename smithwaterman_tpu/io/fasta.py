@@ -96,7 +96,90 @@ def parse_fasta(lines: Iterable[str], retain_ws: bool = False) -> List[SeqData]:
     return records
 
 
+def _native_lib():
+    """The shared C++ host library (csrc/fasta.cpp), or None.
+
+    Loaded lazily through the same auto-building loader as the traceback
+    walkers; SWT_NO_NATIVE disables all native paths at once."""
+    from ..ops.traceback import _load_native
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "sw_fasta_parse"):
+        return None
+    if not getattr(lib, "_fasta_bound", False):
+        import ctypes
+
+        i64, p = ctypes.c_int64, ctypes.POINTER
+        lib.sw_fasta_parse.restype = ctypes.c_void_p
+        lib.sw_fasta_parse.argtypes = [ctypes.c_char_p, i64, p(i64)]
+        lib.sw_fasta_record.restype = None
+        lib.sw_fasta_record.argtypes = [
+            ctypes.c_void_p, i64,
+            p(ctypes.c_char_p), p(i64),
+            p(ctypes.c_char_p), p(i64),
+            p(ctypes.c_char_p), p(i64),
+        ]
+        lib.sw_fasta_n_warnings.restype = i64
+        lib.sw_fasta_n_warnings.argtypes = [ctypes.c_void_p]
+        lib.sw_fasta_warning_pos.restype = i64
+        lib.sw_fasta_warning_pos.argtypes = [ctypes.c_void_p, i64]
+        lib.sw_fasta_free.restype = None
+        lib.sw_fasta_free.argtypes = [ctypes.c_void_p]
+        lib._fasta_bound = True
+    return lib
+
+
+def _load_fasta_native(lib, path: str, retain_ws: bool) -> List[SeqData]:
+    import ctypes
+
+    nrec = ctypes.c_int64()
+    handle = lib.sw_fasta_parse(
+        path.encode(), 1 if retain_ws else 0, ctypes.byref(nrec)
+    )
+    if not handle:
+        raise FileNotFoundError(path)
+    try:
+        # warnings are emitted from Python so sys.stderr capture works
+        for k in range(lib.sw_fasta_n_warnings(handle)):
+            pos = lib.sw_fasta_warning_pos(handle, k)
+            sys.stderr.write(
+                f"> was found at {pos}. This line was used as header anyway.\n"
+            )
+        out: List[SeqData] = []
+        name = ctypes.c_char_p()
+        desc = ctypes.c_char_p()
+        seq = ctypes.c_char_p()
+        nl = ctypes.c_int64()
+        dl = ctypes.c_int64()
+        sl = ctypes.c_int64()
+        for k in range(nrec.value):
+            lib.sw_fasta_record(
+                handle, k,
+                ctypes.byref(name), ctypes.byref(nl),
+                ctypes.byref(desc), ctypes.byref(dl),
+                ctypes.byref(seq), ctypes.byref(sl),
+            )
+            out.append(
+                SeqData(
+                    name=ctypes.string_at(name, nl.value).decode("latin-1"),
+                    desc=ctypes.string_at(desc, dl.value).decode("latin-1"),
+                    seq=ctypes.string_at(seq, sl.value).decode("latin-1"),
+                )
+            )
+        return out
+    finally:
+        lib.sw_fasta_free(handle)
+
+
 def load_fasta(path: str, retain_ws: bool = False) -> List[SeqData]:
+    lib = _native_lib()
+    if lib is not None:
+        try:
+            return _load_fasta_native(lib, path, retain_ws)
+        except FileNotFoundError:
+            raise
+        except Exception:  # pragma: no cover - fall back on any native issue
+            pass
     with open(path, "r") as f:
         return parse_fasta(f, retain_ws=retain_ws)
 

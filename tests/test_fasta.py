@@ -101,3 +101,43 @@ def test_reference_fixture_if_present():
     assert recs[0].seq == "A" * 12
     assert recs[3].seq == "" and recs[3].desc == "d desu"
     assert recs[8].seq == ""
+
+
+def test_native_parser_differential(tmp_path, capsys):
+    """csrc/fasta.cpp must match parse_fasta byte-for-byte, warnings
+    included, across the quirk corpus (native used by load_fasta)."""
+    import io
+    import sys
+
+    from smithwaterman_tpu.io import fasta as fmod
+
+    lib = fmod._native_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    cases = [
+        EDGE_FIXTURE,
+        "no header\nACGT\n>x\n\n>\nAC\n",
+        "  >lead\nAA\nmid>line h\nCC\n",
+        ">a  two  spaces in desc\nA C\tG\n",
+        ">\n>\n>b\n",
+        "",
+        "ACGT",
+        ">crlf test\r\nAC\r\nGT\r\n",
+        ">lonecr\rAC\rGT\r",
+        ">tab\tdesc\tmore\nACGT\n",
+    ]
+    for retain in (False, True):
+        for k, content in enumerate(cases):
+            p = tmp_path / f"c{k}_{retain}.fas"
+            p.write_bytes(content.encode())
+            with open(p, "r") as fh:
+                py = fmod.parse_fasta(fh, retain_ws=retain)
+            err_py = capsys.readouterr().err
+            nat = fmod._load_fasta_native(lib, str(p), retain)
+            err_nat = capsys.readouterr().err
+            assert [(r.name, r.desc, r.seq) for r in py] == [
+                (r.name, r.desc, r.seq) for r in nat
+            ], (k, retain)
+            assert err_py == err_nat, (k, retain)
