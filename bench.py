@@ -30,7 +30,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        tile, B, NP, MP, ncall = 128, 512, 512, 512, 16
+        tile, B, NP, MP, ncall = 128, 512, 512, 512, 32
     else:  # CPU smoke: tiny interpret-mode run so the script always works
         tile, B, NP, MP, ncall = 8, 8, 128, 128, 1
 

@@ -35,7 +35,9 @@ def _force(x):
     return float(np.asarray(x).ravel()[0])
 
 
-def bench_fill(B, N, mode, score_only, ncall=8):
+def bench_fill(B, N, mode, score_only, ncall=32):
+    # ncall amortizes the per-chain tunnel dispatch (~15-20 ms): at 8 the
+    # floor adds ~2 ms/call and understates GCUPS by ~25% on 5 ms kernels
     from smithwaterman_tpu.matrices import SubstitutionMatrix
     from smithwaterman_tpu.ops import batch, pallas_dp
     from smithwaterman_tpu.ops.pallas_dp import choose_tile

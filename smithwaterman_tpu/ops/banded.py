@@ -408,6 +408,93 @@ def walk_banded(
     return r1, r2, edge_touched
 
 
+@functools.partial(jax.jit, static_argnames=("W", "local", "L"))
+def _walk_banded_device(tb, off, si, sj, s0, m, act0, *, W: int, local: bool,
+                        L: int):
+    """ON-DEVICE pointer walk for the whole banded batch at once.
+
+    The reference GPU engine backtracks on the device and ships only the
+    path (opencl_sequence_alignment.rs:765-795); walking on host instead
+    means shipping the entire (NP, TBP, W) pointer band over the
+    host<->device link first — ~50 MB for a 12k pair at W=512, which
+    dominated wall time on tunneled links (9.8 s measured).  This walk
+    replicates walk_banded exactly, all TBP pairs stepping in lockstep in
+    one XLA while_loop; only (TBP, L) index arrays cross the link.
+
+    Args: tb (NP, TBP, W) uint8, off (TBP, NP+1) i32, si/sj/s0/m (TBP,)
+    i32.  Returns (idx1, idx2, count, flags): indices in walk (reverse
+    path) order, -1 for gaps; flags bit0 = edge_touched, bit1 = band
+    exceeded (caller raises BandExceeded like the host walker).
+    """
+    NP, TBP_, _ = tb.shape
+    tb_flat = tb.reshape(-1)
+    bidx = jnp.arange(TBP_, dtype=jnp.int32)
+
+    def cond(c):
+        it, i, j, s, cnt, flags, active, i1, i2 = c
+        return jnp.logical_and(jnp.any(active), it < L + 4)
+
+    def body(c):
+        it, i, j, s, cnt, flags, active, idx1, idx2 = c
+        off_i = off[bidx, jnp.clip(i, 0, NP)]
+        w = j - 1 - off_i
+        in_mat = (i >= 1) & (j >= 1)
+        exceeded = active & in_mat & ((w < 0) | (w >= W))
+        edge = in_mat & (((w == 0) & (j > 1)) | ((w == W - 1) & (j < m)))
+        flat = (
+            jnp.clip(i - 1, 0, NP - 1) * (TBP_ * W)
+            + bidx * W
+            + jnp.clip(w, 0, W - 1)
+        )
+        byte = tb_flat[flat].astype(jnp.int32)
+        prev_mat = (byte >> (2 * s)) & 3
+        # closed-form boundary predecessors (cf. walk_banded)
+        at00 = (i == 0) & (j == 0)
+        top = (i == 0) & (j >= 1)
+        bnd = jnp.where(at00, CELL_MATCH,
+                        jnp.where(top, CELL_GAPINX, CELL_GAPINY))
+        if local:
+            bnd = jnp.where(bnd == s, CELL_STOP, bnd)
+        prev = jnp.where(in_mat, prev_mat, bnd)
+        stop_now = (prev == CELL_STOP) if local else jnp.zeros_like(active)
+        do = active & ~stop_now & ~exceeded
+        flags = flags | jnp.where(active & ~exceeded & edge, 1, 0)
+        flags = flags | jnp.where(exceeded, 2, 0)
+        e1 = jnp.where(s == CELL_GAPINX, -1, i - 1)
+        e2 = jnp.where(s == CELL_GAPINY, -1, j - 1)
+        wr = jnp.clip(cnt, 0, L - 1)
+        idx1 = idx1.at[bidx, wr].set(
+            jnp.where(do, e1, idx1[bidx, wr]), mode="drop"
+        )
+        idx2 = idx2.at[bidx, wr].set(
+            jnp.where(do, e2, idx2[bidx, wr]), mode="drop"
+        )
+        di = jnp.where(s == CELL_GAPINX, 0, 1)
+        dj = jnp.where(s == CELL_GAPINY, 0, 1)
+        i = i - di * do
+        j = j - dj * do
+        cnt = cnt + do
+        hit00 = (i == 0) & (j == 0)
+        s = jnp.where(do & ~hit00, prev, s)
+        active = do & ~hit00
+        return it + 1, i, j, s, cnt, flags, active, idx1, idx2
+
+    it = jnp.int32(0)
+    cnt = jnp.zeros_like(si)
+    flags = jnp.zeros_like(si)
+    active = jnp.asarray(act0, jnp.bool_)
+    idx1 = jnp.full((TBP_, L), -2, jnp.int32)
+    idx2 = jnp.full((TBP_, L), -2, jnp.int32)
+    it, i, j, s, cnt, flags, active, idx1, idx2 = jax.lax.while_loop(
+        cond, body,
+        (it, jnp.asarray(si, jnp.int32), jnp.asarray(sj, jnp.int32),
+         jnp.asarray(s0, jnp.int32), cnt, flags, active, idx1, idx2),
+    )
+    # pairs still active after L+4 steps have a corrupt pointer cycle
+    flags = flags | jnp.where(active, 2, 0)
+    return idx1, idx2, cnt, flags
+
+
 @functools.partial(jax.jit, static_argnames=("W",))
 def _banded_scores(c1, c2, table, off_rows, m, *, W: int):
     """(TBP, NP, W) f32 per-pair banded scores:
@@ -501,30 +588,64 @@ def align_banded_batch(
         eg=eg,
         interpret=interpret,
     )
-    tb_np = np.asarray(tb)
     stats_np = np.asarray(stats)
+
+    # start cell/state per pair (host-side: tiny), then ONE on-device walk
+    # for the whole batch — the pointer band itself never leaves the
+    # device (see _walk_banded_device)
+    si = np.zeros(TBP, np.int32)
+    sj = np.zeros(TBP, np.int32)
+    s0 = np.zeros(TBP, np.int32)
+    score = np.zeros(TBP, np.float64)
+    skip = np.zeros(TBP, bool)
+    for k in range(count):
+        n, m, off = ns[k], ms[k], offs_full[k]
+        if mode == LOCAL:
+            best = float(stats_np[k, 0])
+            score[k] = best
+            if best <= 0.0:
+                skip[k] = True
+                continue
+            si[k] = int(stats_np[k, 1])
+            sj[k] = int(off[si[k]]) + int(stats_np[k, 2]) + 1
+            s0[k] = CELL_MATCH
+        else:
+            fin = stats_np[k, 3:6]
+            s0[k] = int(np.argmax(fin))
+            score[k] = float(fin[s0[k]])
+            si[k], sj[k] = n, m
+    skip[count:] = True
+    # round the path-capacity bound so the compiled-program count stays
+    # small across batches of varying lengths
+    L = -(-(int(max(ns) + max(ms)) + 2) // 1024) * 1024
+    i1, i2, cnt, flags = _walk_banded_device(
+        tb,
+        jnp.asarray(np.stack(offs_full).astype(np.int32)),
+        jnp.asarray(np.where(skip, 0, si)),
+        jnp.asarray(np.where(skip, 0, sj)),
+        jnp.asarray(s0),
+        jnp.asarray(mv[:, 0]),
+        jnp.asarray(~skip),
+        W=W, local=mode == LOCAL, L=L,
+    )
+    i1 = np.asarray(i1)
+    i2 = np.asarray(i2)
+    cnt = np.asarray(cnt)
+    flags = np.asarray(flags)
 
     results = []
     for k in range(count):
-        n, m, off = ns[k], ms[k], offs_full[k]
-        tb_k = tb_np[:, k, :]
-        if mode == LOCAL:
-            best = float(stats_np[k, 0])
-            if best <= 0.0:
-                results.append(([], [], 0.0, False))
-                continue
-            bi = int(stats_np[k, 1])
-            bw = int(stats_np[k, 2])
-            bj = int(off[bi]) + bw + 1
-            idx1, idx2, edge = walk_banded(
-                tb_k, off, bi, bj, CELL_MATCH, True, W, m
+        if skip[k]:
+            results.append(([], [], 0.0, False))
+            continue
+        if flags[k] & 2:
+            raise BandExceeded(
+                f"path left band starting at ({si[k]},{sj[k]})"
             )
-            results.append((idx1, idx2, best, edge))
-        else:
-            fin = stats_np[k, 3:6]
-            state = int(np.argmax(fin))
-            idx1, idx2, edge = walk_banded(tb_k, off, n, m, state, False, W, m)
-            results.append((idx1, idx2, float(fin[state]), edge))
+        c = int(cnt[k])
+        idx1 = i1[k, :c][::-1].tolist()
+        idx2 = i2[k, :c][::-1].tolist()
+        results.append((idx1, idx2, float(score[k]), bool(flags[k] & 1)))
     return results
 
 

@@ -134,6 +134,37 @@ def _window(tb_band, g, t, j0, *, W: int):
     return sl[0, :, 0, :]
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def _windows_batch(tb_band, gs, ts, j0s, *, W: int):
+    """All active pairs' windows in ONE device call (the per-pair gather
+    costs a full dispatch round-trip each — ~15 ms over the axon tunnel —
+    which dominated align_long wall time)."""
+    C = tb_band.shape[1]
+
+    def one(g, t, j0):
+        sl = jax.lax.dynamic_slice(tb_band, (g, 0, t, j0), (1, C, 1, W))
+        return sl[0, :, 0, :]
+
+    return jax.vmap(one)(gs, ts, j0s)
+
+
+def _gather_windows(tb_band, items, W: int) -> np.ndarray:
+    """items: [(g, t, j0)]; count padded to a power of two so the number of
+    compiled programs stays O(log B)."""
+    K = len(items)
+    Kp = 1 << max(0, K - 1).bit_length() if K > 1 else 1
+    gs = np.zeros(Kp, np.int32)
+    ts = np.zeros(Kp, np.int32)
+    j0s = np.zeros(Kp, np.int32)
+    for k, (g, t, j0) in enumerate(items):
+        gs[k], ts[k], j0s[k] = g, t, j0
+    return np.asarray(
+        _windows_batch(
+            tb_band, jnp.asarray(gs), jnp.asarray(ts), jnp.asarray(j0s), W=W
+        )
+    )
+
+
 def align_long(
     S_tiled,               # (G, NP, TBP, MP) device array (int8/f32)
     n: np.ndarray,         # (B,)
@@ -201,19 +232,29 @@ def align_long(
             icm, icx, icy,
             mode=mode, og=og, eg=eg, interpret=interpret,
         )
-        for b in active:
-            g, t = divmod(b, tbp)
-            i, j, s = cur[b]
-            status = WALK_LEFT
-            while status == WALK_LEFT:
-                j0 = max(0, min(j - W, MP - W))
-                win = np.asarray(_window(tb_band, g, t, j0, W=W))
+        # batched walk: gather every pending pair's window in one device
+        # call per round (WALK_LEFT re-rounds are rare: only gap runs
+        # longer than the window need them)
+        pend = [(b, *cur[b]) for b in active]
+        while pend:
+            items = []
+            for b, i, j, s in pend:
+                g, t = divmod(b, tbp)
+                items.append((g, t, max(0, min(j - W, MP - W))))
+            wins = _gather_windows(tb_band, items, W)
+            nxt = []
+            for k, (b, i, j, s) in enumerate(pend):
+                j0 = items[k][2]
                 c1, c2, i, j, s, status = walk_band(
-                    win, sk * C, j0, i, j, s, local
+                    wins[k], sk * C, j0, i, j, s, local
                 )
                 chunks1[b].extend(c1)
                 chunks2[b].extend(c2)
-            cur[b] = None if status == WALK_DONE else (i, j, s)
+                if status == WALK_LEFT:
+                    nxt.append((b, i, j, s))
+                else:
+                    cur[b] = None if status == WALK_DONE else (i, j, s)
+            pend = nxt
 
     idx_lists = []
     for b in range(B):

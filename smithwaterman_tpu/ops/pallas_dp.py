@@ -175,7 +175,12 @@ def _kernel(
         ckm_ref = next(it)
         ckx_ref = next(it)
         cky_ref = next(it)
-    cm, cx, cy, runbest, runbest_i, acc = it
+    # scratch: slots 4-6 are mode-dependent (LOCAL: running best value,
+    # best-row i32, stats acc; otherwise: the captured (M, X, Y) rows at
+    # each pair's final row i == n)
+    cm, cx, cy, s4, s5, s6 = it
+    runbest, runbest_i = s4, s5
+    fM_s, fX_s, fY_s = s4, s5, s6
 
     rb = pl.program_id(1)
     if mode == GLOBAL:
@@ -227,7 +232,10 @@ def _kernel(
             if track_arg:
                 runbest_i[:, :] = jnp.full((tbp, mp), BIGI, jnp.int32)
         else:
-            acc[:, :] = jnp.zeros((tbp, STATS_W), jnp.float32)
+            z = jnp.zeros((tbp, mp), jnp.float32)
+            fM_s[:, :] = z
+            fX_s[:, :] = z
+            fY_s[:, :] = z
 
     def one_row(r, Mp, Xp, Yp, rbv, rbi, accv):
         """One DP row entirely in registers: consumes the previous row's
@@ -385,16 +393,15 @@ def _kernel(
                 rbv = jnp.where(upd, masked, rbv)
                 rbi = jnp.where(upd, i, rbi)
         else:
-            # capture (M, X, Y) at (n, m) the row each pair's n is reached
-            take = (i == nvec) & (jl + 1 == mvec)  # (TBP, MP)
-            zero = jnp.zeros((tbp, 1), jnp.float32)
-            fm = jnp.sum(jnp.where(take, val_m, 0.0), axis=1, keepdims=True)
-            fx = jnp.sum(jnp.where(take, val_x, 0.0), axis=1, keepdims=True)
-            fy = jnp.sum(jnp.where(take, val_y, 0.0), axis=1, keepdims=True)
-            pad = jnp.zeros((tbp, STATS_W - 6), jnp.float32)
-            accv = accv + jnp.concatenate(
-                [zero, zero, zero, fm, fx, fy, pad], axis=1
-            )
+            # capture the whole (M, X, Y) row the row each pair's n is
+            # reached (4 wide ops vs ~10 for the old per-row masked-sum
+            # accumulate); the lane at m is extracted once at _finish
+            fMv, fXv, fYv = accv
+            sel = jnp.broadcast_to(i == nvec, (tbp, mp))
+            fM = jnp.where(sel, val_m, fMv)
+            fX = jnp.where(sel, val_x, fXv)
+            fY = jnp.where(sel, val_y, fYv)
+            accv = (fM, fX, fY)
         return val_m, val_x, val_y, rbv, rbi, accv
 
     # rows chained in registers per loop iteration; scratch touched once
@@ -414,7 +421,7 @@ def _kernel(
             accv = None
         else:
             rbv = rbi = None
-            accv = acc[:, :]
+            accv = (fM_s[:, :], fX_s[:, :], fY_s[:, :])
         for q in range(R):
             Mp, Xp, Yp, rbv, rbi, accv = one_row(
                 g * R + q, Mp, Xp, Yp, rbv, rbi, accv
@@ -427,7 +434,7 @@ def _kernel(
             if track_arg:
                 runbest_i[:, :] = rbi
         else:
-            acc[:, :] = accv
+            fM_s[:, :], fX_s[:, :], fY_s[:, :] = accv
         return 0
 
     jax.lax.fori_loop(0, rb_rows // R, group_step, 0, unroll=False)
@@ -464,7 +471,19 @@ def _kernel(
                     axis=1,
                 )
         else:
-            stats_ref[0, :, :] = acc[:, :]
+            # extract lane m-1 of each captured final row (one masked
+            # sum per state, once per pair instead of per row)
+            mask_col = jl + 1 == mvec
+            fm = jnp.sum(jnp.where(mask_col, fM_s[:, :], 0.0), axis=1,
+                         keepdims=True)
+            fx = jnp.sum(jnp.where(mask_col, fX_s[:, :], 0.0), axis=1,
+                         keepdims=True)
+            fy = jnp.sum(jnp.where(mask_col, fY_s[:, :], 0.0), axis=1,
+                         keepdims=True)
+            z3 = jnp.zeros((tbp, 3), jnp.float32)
+            pad = jnp.zeros((tbp, STATS_W - 6), jnp.float32)
+            stats_ref[0, :, :] = jnp.concatenate([z3, fm, fx, fy, pad],
+                                                 axis=1)
 
 
 @functools.partial(
@@ -518,14 +537,7 @@ def fill_tiled(
     stats_shape = jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda ib, rb: (ib, 0, 0),
                               memory_space=pltpu.VMEM)
-    scratch = [
-        pltpu.VMEM((tbp, MP), jnp.float32),  # cm
-        pltpu.VMEM((tbp, MP), jnp.float32),  # cx
-        pltpu.VMEM((tbp, MP), jnp.float32),  # cy
-        pltpu.VMEM((tbp, MP), jnp.float32),  # runbest
-        pltpu.VMEM((tbp, MP), jnp.int32),    # runbest_i
-        pltpu.VMEM((tbp, STATS_W), jnp.float32),  # acc
-    ]
+    scratch = _scratch(tbp, MP, mode)
     grid = (G, n_row_blocks)
     # vmem_limit_bytes: the default 16 MiB scoped-VMEM cap is exceeded by
     # the unrolled row-group temporaries at (tile=128, MP>=1024) with
@@ -585,14 +597,24 @@ def _common_specs(tbp, rb_rows, MP, dtype_itemsize=None):
     return in_specs, s_spec, stats_spec
 
 
-def _scratch(tbp, MP):
-    return [
+def _scratch(tbp, MP, mode):
+    """Slots 0-2: (M, X, Y) carries.  Slots 3-5 are mode-dependent: LOCAL
+    tracks the running best value + its row; other modes capture the
+    (M, X, Y) rows at each pair's final row i == n (see _kernel)."""
+    common = [
         pltpu.VMEM((tbp, MP), jnp.float32),
         pltpu.VMEM((tbp, MP), jnp.float32),
         pltpu.VMEM((tbp, MP), jnp.float32),
         pltpu.VMEM((tbp, MP), jnp.float32),
-        pltpu.VMEM((tbp, MP), jnp.int32),
-        pltpu.VMEM((tbp, STATS_W), jnp.float32),
+    ]
+    if mode == LOCAL:
+        return common + [
+            pltpu.VMEM((tbp, MP), jnp.int32),       # runbest_i
+            pltpu.VMEM((tbp, STATS_W), jnp.float32),  # unused
+        ]
+    return common + [
+        pltpu.VMEM((tbp, MP), jnp.float32),  # fX
+        pltpu.VMEM((tbp, MP), jnp.float32),  # fY
     ]
 
 
@@ -654,7 +676,7 @@ def fill_checkpointed(
             ck_shape, ck_shape, ck_shape,
         ),
         out_specs=(stats_spec, ck_spec, ck_spec, ck_spec),
-        scratch_shapes=_scratch(tbp, MP),
+        scratch_shapes=_scratch(tbp, MP, mode),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 << 20,
@@ -708,7 +730,7 @@ def fill_band(
             jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32),
         ),
         out_specs=(tb_spec, stats_spec),
-        scratch_shapes=_scratch(tbp, MP),
+        scratch_shapes=_scratch(tbp, MP, mode),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 << 20,
