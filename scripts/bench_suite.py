@@ -165,23 +165,25 @@ def main():
 
     NS, MS = (1024, 16384) if args.quick else (2048, 65536)
     mesh = make_mesh(1)
-    Sg = (
+    Sg = jnp.asarray(
         rng.integers(-4, 12, size=(1, NS, MS)).astype(np.float32)
     )
-    nv = np.full(1, NS, np.int32)
-    mv = np.full(1, MS, np.int32)
-    out = striped_fill(jnp.asarray(Sg), jnp.asarray(nv), jnp.asarray(mv),
-                       mode=LOCAL, og=-10.0, eg=-0.5, block_rows=64,
-                       mesh=mesh)
-    _force(out)
-    t0 = time.time()
-    out = striped_fill(jnp.asarray(Sg + 0.0), jnp.asarray(nv),
-                       jnp.asarray(mv), mode=LOCAL, og=-10.0, eg=-0.5,
-                       block_rows=64, mesh=mesh)
-    _force(out)
-    dt = time.time() - t0
-    emit(metric="striped_fill_s", value=round(dt, 3), bucket=f"{NS}x{MS}",
-         gcups=round(NS * MS / dt / 1e9, 2), devices=1)
+    Sg.block_until_ready()  # stage the 512 MB S upload OUTSIDE the timing
+    mv = jnp.asarray(np.full(1, MS, np.int32))
+
+    for rows in ("jax", "pallas"):
+        # vary the tiny n vector per call (same value) to defeat the
+        # tunnel execution cache; S stays resident on device
+        nvs = [jnp.asarray(np.full(1, NS, np.int32)) for _ in range(2)]
+        _force(striped_fill(Sg, nvs[0], mv, mode=LOCAL, og=-10.0, eg=-0.5,
+                            block_rows=64, mesh=mesh, rows=rows))  # warm
+        t0 = time.time()
+        _force(striped_fill(Sg, nvs[1], mv, mode=LOCAL, og=-10.0, eg=-0.5,
+                            block_rows=64, mesh=mesh, rows=rows))
+        dt = time.time() - t0
+        emit(metric="striped_fill_s", rows_impl=rows, value=round(dt, 3),
+             bucket=f"{NS}x{MS}", gcups=round(NS * MS / dt / 1e9, 2),
+             devices=1)
 
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)

@@ -70,7 +70,7 @@ def _lab_kernel(
     bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
-    selmax=False, ptrfast=False, tb_ref=None,
+    selmax=False, ptrfast=False, detrend=False, tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -100,6 +100,7 @@ def _lab_kernel(
     jl = jax.lax.broadcasted_iota(jnp.int32, (tbp // nchain, mp), 1)
     lanef = jl.astype(dt)
     lanef_pe = lanef * eg
+    povec = og - lanef_pe - eg  # loop-invariant: og - (l+1)*eg (detrend)
 
     @pl.when(rb == 0)
     def _init():
@@ -192,14 +193,25 @@ def _lab_kernel(
 
         x0b = sent  # local lsc_i = 0
         g0 = og
-        gline = jm(val_m, val_y) + og
-        hraw = _shift_right(gline, g0)
-        h = hraw - lanef_pe
-        h0 = jm(
-            jnp.broadcast_to(jnp.asarray(g0), (tbp // nchain, 1)).astype(dt),
-            x0b + eg,
-        )
-        h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp // nchain, mp)), h)
+        if detrend:
+            # fold the +og and the per-lane detrend into ONE precomputed
+            # vector applied BEFORE the shift: D[l] = G[l] + og - (l+1)*eg,
+            # so shift(D)[l] = G[l-1] + og - l*eg = h[l] exactly (saves the
+            # separate `- lanef*eg` wide op; lane-0 fill g0 is unchanged
+            # since the l=0 detrend term is zero)
+            D = jm(val_m, val_y) + povec
+            h = _shift_right(D, g0)
+        else:
+            gline = jm(val_m, val_y) + og
+            hraw = _shift_right(gline, g0)
+            h = hraw - lanef_pe
+            h0 = jm(
+                jnp.broadcast_to(jnp.asarray(g0), (tbp // nchain, 1)).astype(dt),
+                x0b + eg,
+            )
+            h = jnp.where(
+                jl == 0, jnp.broadcast_to(h0, (tbp // nchain, mp)), h
+            )
         if fake_cummax:
             c = h + h  # ablation: keep the dep, drop the scan
         else:
@@ -212,8 +224,15 @@ def _lab_kernel(
             # is exactly hraw = shift(max(val_m, val_y) + og) — already
             # computed for the scan (lane 0: x0b+eg > g0 is never true, and
             # the M-vs-Y fill resolves to Y=8, matching the old cascade)
-            Xm1 = _shift_right(val_x, x0b)
-            x_wins = Xm1 + eg > hraw
+            if detrend:
+                # same compare in the detrended domain: clamp c at -l*eg
+                # (== val_x clamped at 0), shift, strict > h; lane-0 fill
+                # NEG keeps x_wins false there as before
+                c_cl = jm(c, -lanef_pe)
+                x_wins = _shift_right(c_cl, NEGv) > h
+            else:
+                Xm1 = _shift_right(val_x, x0b)
+                x_wins = Xm1 + eg > hraw
             myp = jnp.where(val_m > val_y, 0, 8)  # constants pre-shifted <<2
             my = _shift_right(myp, 8)
             prev_x = jnp.where(x_wins, 4, my)
@@ -288,14 +307,14 @@ def _lab_kernel(
     jax.jit,
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
-        "traceback", "rb_rows", "i16", "selmax", "ptrfast", "interpret",
-        "return_tb",
+        "traceback", "rb_rows", "i16", "selmax", "ptrfast", "detrend",
+        "interpret", "return_tb",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
-    rb_rows, i16=False, selmax=False, ptrfast=False, interpret=False,
-    return_tb=False,
+    rb_rows, i16=False, selmax=False, ptrfast=False, detrend=False,
+    interpret=False, return_tb=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -306,7 +325,7 @@ def lab_fill(
         og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
-        selmax=selmax, ptrfast=ptrfast,
+        selmax=selmax, ptrfast=ptrfast, detrend=detrend,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -457,6 +476,20 @@ def main():
             S128_i8,
             {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
              "ptrfast": True},
+        ),
+        "detrend-fuseR8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "detrend": True},
+        ),
+        "tb-ptrfast-detrend-R8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True},
+        ),
+        "tb-ptrfast-detrend-R16-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 16, "traceback": True,
+             "ptrfast": True, "detrend": True},
         ),
         "tb-ptrfast-R16-i8": (
             S128_i8,
