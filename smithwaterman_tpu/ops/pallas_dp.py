@@ -213,6 +213,17 @@ def _kernel(
     # loop-invariant pieces of the X prefix scan (pe is per-row in glocal)
     if mode != GLOCAL:
         lanef_pe = lanef * eg
+        # detrend (score-only): fold the +og and the per-lane -l*eg detrend
+        # into ONE loop-invariant vector added BEFORE the shift, so
+        # shift(max + povec)[l] = max[l-1] + og - l*eg = h[l] exactly (all
+        # quantities are dyadic/half-integers -> f32-exact in either
+        # association).  Saves one wide op per row; measured +14% in the
+        # lab (scripts/kernel_lab.py detrend variants).  Not used on the
+        # traceback path: the X-pointer compare needs hraw, which detrend
+        # no longer materializes (lab measured it a regression there), and
+        # not in GLOCAL, where pe varies per row so povec would cost more
+        # to rebuild than it saves.
+        povec = og - lanef_pe - eg
 
     @pl.when(rb == 0)
     def _init():
@@ -329,10 +340,15 @@ def _kernel(
             po, pe = og, eg
         x0b = lsc_i + sent  # boundary X at (i, 0)
         g0 = lsc_i + po     # max(M,Y) at (i, 0) + po  (Y=lsc_i dominates)
-        gline = jnp.maximum(val_m, val_y) + po
-        hraw = _shift_right(gline, g0)
         lpe = lanef * pe if mode == GLOCAL else lanef_pe
-        h = hraw - lpe
+        if score_only and mode != GLOCAL:
+            # detrended h in one add + one shift (see povec above); lane 0
+            # gets the shift fill g0, identical to hraw[0] - 0*eg
+            h = _shift_right(jnp.maximum(val_m, val_y) + povec, g0)
+        else:
+            gline = jnp.maximum(val_m, val_y) + po
+            hraw = _shift_right(gline, g0)
+            h = hraw - lpe
         if mode == LOCAL:
             # lane 0 already holds g0 (lanef=0): the boundary-X term
             # x0b + pe = sent + eg never exceeds g0 = og in LOCAL
