@@ -171,19 +171,19 @@ def main():
     Sg.block_until_ready()  # stage the 512 MB S upload OUTSIDE the timing
     mv = jnp.asarray(np.full(1, MS, np.int32))
 
-    for rows in ("jax", "pallas"):
+    for rows_impl in ("jax", "pallas"):
         # vary the tiny n vector per call (same value) to defeat the
         # tunnel execution cache; S stays resident on device
         nvs = [jnp.asarray(np.full(1, NS, np.int32)) for _ in range(2)]
         _force(striped_fill(Sg, nvs[0], mv, mode=LOCAL, og=-10.0, eg=-0.5,
-                            block_rows=64, mesh=mesh, rows=rows))  # warm
+                            block_rows=64, mesh=mesh, rows=rows_impl))  # warm
         t0 = time.time()
         _force(striped_fill(Sg, nvs[1], mv, mode=LOCAL, og=-10.0, eg=-0.5,
-                            block_rows=64, mesh=mesh, rows=rows))
+                            block_rows=64, mesh=mesh, rows=rows_impl))
         dt = time.time() - t0
-        emit(metric="striped_fill_s", rows_impl=rows, value=round(dt, 3),
-             bucket=f"{NS}x{MS}", gcups=round(NS * MS / dt / 1e9, 2),
-             devices=1)
+        emit(metric="striped_fill_s", rows_impl=rows_impl,
+             value=round(dt, 3), bucket=f"{NS}x{MS}",
+             gcups=round(NS * MS / dt / 1e9, 2), devices=1)
 
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)

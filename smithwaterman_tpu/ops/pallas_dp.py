@@ -43,19 +43,20 @@ device->host value reads; the axon tunnel caches identical executions AND
 returns early from block_until_ready, which contaminated the r1 ablation
 notes.  v5e, 512 pairs of 512x512, tile=128):
 
-  * ~23 GCUPS with traceback, ~33-35 score-only after the r2 changes
-    (fused max3 shift for score-only, LOCAL h0-fold elimination, R=8 row
-    groups).
+  * ~31.5 GCUPS with traceback, ~41.6 score-only after the r2 changes
+    (fused max3 shift, LOCAL h0-fold elimination, ptrfast packed pointer
+    cascades, detrended X-scan input on the score-only path, R=8 row
+    groups; r1 shipped 21.8 with traceback).
   * The kernel is ISSUE-BOUND at ~1 vector op/cycle: per-row wide-op count
     x 64 vreg-issues/op x rows matches wall time within ~5%.  Op-count
     reduction is the only lever; nothing else moved the needle
     (f32-vs-int8 S: -2%; mask removal: 0; dual chains: negative; tile
     64/256: negative/flat; bigger row blocks: flat).
-  * The 9-step lane cummax for the X state is ~34% of score-only time
-    (zero-cost-scan ablation: 44.6 vs 29.4 GCUPS) and is the exactness-
-    mandated floor: Hillis-Steele over 512 lanes is 18 of the ~31 wide
-    ops per row.  44.6 GCUPS is therefore the measured ceiling of this
-    row formulation with the scan removed — reaching it needs a cheaper
+  * The 9-step lane cummax for the X state is the single largest cost
+    (zero-cost-scan ablation: 44.6 vs 29.4 GCUPS pre-detrend) and is the
+    exactness-mandated floor: Hillis-Steele over 512 lanes is 18 of the
+    ~30 wide ops per row.  Score-only at 41.6 now sits within ~7% of
+    that scan-free ablation ceiling — further gains need a cheaper
     exact scan, not micro-tuning.
   * int16 x2-score-domain (halves vreg issues) is BLOCKED by the current
     Mosaic toolchain: vector<8x128x2xi16> arith.maxsi fails to legalize
@@ -81,8 +82,10 @@ from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
 TB = 8   # minimum tile granularity (VPU sublane count)
 # largest in-register row group (see R selection in _kernel); env-tunable
-# so perf A/B runs need no source edit
-_MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "16"))
+# so perf A/B runs need no source edit.  R=8 measured best on BOTH paths
+# at the headline shape (score-only 41.6 vs 40.9 GCUPS, traceback 31.5 vs
+# 29.1 at R=16; v5e, 512 pairs of 512x512, post-detrend)
+_MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "8"))
 DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
 BIGI = 2**30  # "unset" argmax sentinel (python int: kernels must not capture tracers)
@@ -421,9 +424,9 @@ def _kernel(
         return val_m, val_x, val_y, rbv, rbi, accv
 
     # rows chained in registers per loop iteration; scratch touched once
-    # per group (R=8 measured best with fused max3: 33 vs 29 GCUPS
-    # score-only; R=16 + ptrfast measured best for traceback in the lab;
-    # see scripts/kernel_lab.py).  SWTPU_MAX_ROWGROUP overrides for A/B.
+    # per group (R=8 measured best on both paths at the headline shape —
+    # see the _MAX_R note and scripts/kernel_lab.py).  SWTPU_MAX_ROWGROUP
+    # overrides for A/B.
     R = 1
     for cand in (2, 4, 8, 16):
         if cand <= _MAX_R and rb_rows % cand == 0:
