@@ -352,16 +352,16 @@ def _kernel(
             gline = jnp.maximum(val_m, val_y) + po
             hraw = _shift_right(gline, g0)
             h = hraw - lpe
-        if mode == LOCAL:
-            # lane 0 already holds g0 (lanef=0): the boundary-X term
-            # x0b + pe = sent + eg never exceeds g0 = og in LOCAL
-            # (og - sent - eg = -9*og - 11*eg > 0 for negative penalties),
-            # so the h0 fold is a no-op — skip both ops
-            pass
-        else:
-            h0 = jnp.maximum(jnp.broadcast_to(jnp.asarray(g0), (tbp, 1)),
-                             x0b + pe)
-            h = jnp.where(jl == 0, jnp.broadcast_to(h0, (tbp, mp)), h)
+        # Lane 0 already holds g0 (shift fill / lanef=0), and the h0 fold
+        # h[0] <- max(g0, x0b + pe) is a no-op for the VALUE path in every
+        # mode: x0b + pe - g0 = sent + pe - po, which is 9*og + 11*eg in
+        # LOCAL/GLOBAL/GLOCAL-interior and sent on a glocal free last row
+        # — never positive for the non-positive internal penalties the
+        # config admits, and on equality (degenerate og=eg=0) the max is
+        # the same value anyway.  The traceback lane-0 tie direction is
+        # handled independently by the x_wins/fill_my shift fills below.
+        # (r2: skipping the fold saves 2 wide ops/row; LOCAL skipped it
+        # first, the proof above extends it to GLOBAL/GLOCAL.)
         c = _cummax_lanes(h, mp)
         val_x = c + lpe
         if mode == LOCAL:
