@@ -173,10 +173,30 @@ def main():
         metric="speedup_vs_reference_python",
         value=round(dt_py / dt_warm, 1),
         basis="warm suite wall time, same 100 pairs + full traceback",
+        note="the 100-pair suite is latency-bound (0.03 Gcells total): "
+             "wall time is tunnel dispatch + host walks, not fill",
     )
     if est_full is not None:
         emit(metric="speedup_vs_reference_perl_est",
              value=round(est_full / dt_warm, 1))
+
+    # ---- throughput scale: the same suite replicated 32x (3200 pairs).
+    # Ours is measured; the reference engines are strictly serial
+    # per-pair loops, so their time is the measured suite time x32
+    # (linear extrapolation is generous to them — no batching exists).
+    REP = 32
+    big = [seq_pairs[i % len(seq_pairs)] for i in range(REP * len(seq_pairs))]
+    ba.align_pairs(big[: len(seq_pairs)])  # ensure compiles are warm
+    t0 = time.time()
+    resb = ba.align_pairs(big)
+    dt_big = time.time() - t0
+    assert all(r is not None for r in resb)
+    emit(metric="ours_32x_suite_s", value=round(dt_big, 2), pairs=len(big),
+         backend=backend, gcups=round(REP * cells / dt_big / 1e9, 3))
+    emit(metric="speedup_vs_reference_python_32x",
+         value=round(REP * dt_py / dt_big, 1),
+         basis="measured ours vs linear-extrapolated reference "
+               "(serial per-pair engine)")
 
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)

@@ -229,7 +229,7 @@ class BatchAligner:
             )
 
     # ------------------------------------------------------------------
-    def _scores(self, codes1, codes2, tile):
+    def _scores(self, codes1, codes2, tile, n=None, m=None):
         table = np.asarray(self.scoring_matrix.table, np.float32)
         return batch_ops.scores_tiled(
             jax.numpy.asarray(table),
@@ -237,10 +237,18 @@ class BatchAligner:
             codes2,
             as_int8=self._table_is_int,
             tile=tile,
+            n=None if n is None else jax.numpy.asarray(n),
+            m=None if m is None else jax.numpy.asarray(m),
         )
 
     def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
-        S = self._scores(codes1, codes2, tile)
+        # LOCAL score-only: poison padded cells of S so the kernel can run
+        # its unmasked running-best fast path (see fill_tiled masked_s)
+        masked_s = score_only and self.mode == LOCAL
+        S = self._scores(
+            codes1, codes2, tile,
+            n=n if masked_s else None, m=m if masked_s else None,
+        )
         run = batch_ops.fill_pallas
         if self.device_axis is not None:
             run = self.device_axis.fill_pallas
@@ -253,6 +261,7 @@ class BatchAligner:
             eg=self.config.eg,
             score_only=score_only,
             interpret=self.backend == "pallas_interpret",
+            masked_s=masked_s,
         )
 
     def _fill_scan(self, codes1, codes2, n, m, score_only):

@@ -37,7 +37,8 @@ def is_integer_table(table: np.ndarray) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("as_int8", "tile"))
-def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TILE_PAIRS):
+def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TILE_PAIRS,
+                 n=None, m=None):
     """Dense substitution scores, tiled for the fill kernel.
 
     Args:
@@ -45,6 +46,14 @@ def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TI
       codes1: (B, NP) int32 symbol codes (padded with 0).
       codes2: (B, MP) int32.
       tile: pairs per kernel tile (B must be a multiple).
+      n, m: optional (B,) true lengths.  When given, padded cells (row
+        >= n or col >= m) are set to the dtype's "poison" score (-128
+        int8 / -1e9 f32) so the kernel's LOCAL score-only path can skip
+        its per-row argmax mask (``masked_s=True``): one poisoned
+        substitution drags M at least 128 below the running best (M-state
+        values are bounded by the best + max entry), so padded cells can
+        never raise the best score.  Traceback paths keep the in-kernel
+        mask (argmax *positions* still need it).
     Returns:
       (G, NP, tile, MP) int8 (as_int8) or f32, G = B // tile.
     """
@@ -64,6 +73,14 @@ def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TI
         # exact gather path for arbitrary float tables
         idx = jnp.broadcast_to(codes2[:, None, :], (B, NP, MP))
         S = jnp.take_along_axis(prof, idx, axis=2)
+    if n is not None:
+        poison = jnp.asarray(-128 if as_int8 else -1.0e9, S.dtype)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (B, NP, MP), 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (B, NP, MP), 2)
+        pad = (ri >= jnp.asarray(n)[:, None, None]) | (
+            ci >= jnp.asarray(m)[:, None, None]
+        )
+        S = jnp.where(pad, poison, S)
     G = B // tile
     S = S.reshape(G, tile, NP, MP).transpose(0, 2, 1, 3)
     return S
@@ -86,6 +103,7 @@ def fill_pallas(
     eg: float,
     score_only: bool = False,
     interpret: bool = False,
+    masked_s: bool = False,
 ) -> Tuple[Optional[np.ndarray], np.ndarray]:
     """Run the Pallas kernel; returns host arrays (tb_tiled, stats (B, 8))."""
     G, NP, tile, MP = S_tiled.shape
@@ -102,6 +120,7 @@ def fill_pallas(
         eg=float(eg),
         score_only=score_only,
         interpret=interpret,
+        masked_s=masked_s,
     )
     stats_np = np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)
     if tb is None:

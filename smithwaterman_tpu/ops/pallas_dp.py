@@ -154,6 +154,7 @@ def _kernel(
     score_only: bool,
     seeded: bool = False,
     ckpt: bool = False,
+    masked_s: bool = False,
 ):
     """Ref layout (flag-dependent):
       inputs:  n (1,TBP,1), m (1,TBP,1),
@@ -403,6 +404,12 @@ def _kernel(
 
         # ---- running best (local): strict `>` keeps the first (smallest) i
         if mode == LOCAL:
+            if not track_arg and masked_s:
+                # padded cells of S are poisoned (batch.scores_tiled n=/m=):
+                # their clamped M is <= max(0, best - 128) so an unmasked
+                # max is value-exact — skips the per-row mask (2 wide ops)
+                rbv = jnp.maximum(rbv, val_m)
+                return val_m, val_x, val_y, rbv, rbi, accv
             in_range = valid_j & (i <= nvec)
             masked = jnp.where(in_range, val_m, NEG)
             if not track_arg:
@@ -507,7 +514,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "og", "eg", "score_only", "interpret"),
+    static_argnames=("mode", "og", "eg", "score_only", "interpret",
+                     "masked_s"),
 )
 def fill_tiled(
     S,  # (G, NP, TBP, MP) int8 or f32
@@ -519,6 +527,7 @@ def fill_tiled(
     eg: float,
     score_only: bool = False,
     interpret: bool = False,
+    masked_s: bool = False,
 ):
     """Run the fill kernel over G tiles of TBP pairs.
 
@@ -526,6 +535,10 @@ def fill_tiled(
     are 1-based DP coords minus 1; boundary row/col live in closed form in
     the traceback walker).  ``stats`` is ``(G, TBP, 8)`` f32:
     ``[best, best_i, best_j, finalM, finalX, finalY, 0, 0]``.
+
+    ``masked_s=True`` asserts the caller poisoned padded cells of S
+    (``batch.scores_tiled(..., n=, m=)``), letting the LOCAL score-only
+    path drop its per-row argmax mask (~2 wide ops/row).
     """
     G, NP, tbp, MP = S.shape
     assert tbp % TB == 0, f"pair-tile {tbp} must be a multiple of {TB}"
@@ -543,6 +556,7 @@ def fill_tiled(
         mp=MP,
         n_row_blocks=n_row_blocks,
         score_only=score_only,
+        masked_s=masked_s,
     )
 
     in_specs = [

@@ -32,7 +32,7 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_fill_fn(mesh, mode, og, eg, score_only, interpret):
+def _sharded_fill_fn(mesh, mode, og, eg, score_only, interpret, masked_s=False):
     def local_fill(S_l, n_l, m_l):
         tb, stats = pallas_dp.fill_tiled(
             S_l,
@@ -43,6 +43,7 @@ def _sharded_fill_fn(mesh, mode, og, eg, score_only, interpret):
             eg=eg,
             score_only=score_only,
             interpret=interpret,
+            masked_s=masked_s,
         )
         if tb is None:
             tb = jnp.zeros((1, 1, 1, 1), jnp.uint8)
@@ -79,6 +80,7 @@ class DataParallel:
         eg: float,
         score_only: bool = False,
         interpret: bool = False,
+        masked_s: bool = False,
     ) -> Tuple[Optional[np.ndarray], np.ndarray]:
         """Same contract as ops.batch.fill_pallas, sharded over the mesh.
 
@@ -92,7 +94,8 @@ class DataParallel:
         nt = jnp.asarray(np.asarray(n).reshape(G, tile, 1), jnp.int32)
         mt = jnp.asarray(np.asarray(m).reshape(G, tile, 1), jnp.int32)
         fn = _sharded_fill_fn(
-            self.mesh, mode, float(og), float(eg), score_only, bool(interpret)
+            self.mesh, mode, float(og), float(eg), score_only,
+            bool(interpret), bool(masked_s)
         )
         tb, stats = fn(S_tiled, nt, mt)
         stats_np = np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)

@@ -90,6 +90,46 @@ def test_kernel_score_only(mode):
             np.testing.assert_allclose(stats[b, 3:6], np.asarray(ref.final[b]))
 
 
+def test_kernel_score_only_masked_s():
+    """LOCAL score-only with poisoned S padding + unmasked running best
+    must reproduce the scan's best scores exactly (incl. all-mismatch
+    pairs where the best is 0)."""
+    import jax.numpy as jnp
+
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _random_batch(sm.n_symbols)
+    # make one pair all-'*' vs all-'A' so its local best is 0 (ties the
+    # padded cells' clamped value)
+    star = sm.seq_to_index("*" * NP_PAD)
+    ala = sm.seq_to_index("A" * MP_PAD)
+    codes1 = codes1.copy()
+    codes2 = codes2.copy()
+    codes1[5, :] = star
+    codes2[5, :] = ala
+    S_tiled = np.asarray(
+        batch.scores_tiled(
+            sm.table, codes1, codes2, as_int8=True, tile=TB,
+            n=jnp.asarray(n), m=jnp.asarray(m),
+        )
+    )
+    # padded cells really are poisoned
+    assert (S_tiled[0, n[0]:, 0, :] == -128).all()
+    assert (S_tiled[0, :, 0, m[0]:] == -128).all()
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=LOCAL, og=OG, eg=EG, score_only=True,
+        interpret=True, masked_s=True,
+    )
+    assert tb_tiled is None
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=LOCAL, og=OG, eg=EG,
+                          score_only=True)
+    for b in range(TB):
+        assert stats[b, 0] == pytest.approx(float(ref.best[b])), f"pair {b}"
+    assert float(ref.best[5]) == 0.0  # the all-mismatch pair exercised the tie
+
+
 def test_row_block_divides_np():
     """Regression (ADVICE r1): beyond-ladder buckets round NP to 256-multiples
     that a power-of-two row block need not divide — e.g. an 8300x50 pair
