@@ -42,13 +42,19 @@ def bench_fill(B, N, mode, score_only, ncall=32):
     from smithwaterman_tpu.ops import batch, pallas_dp
     from smithwaterman_tpu.ops.pallas_dp import choose_tile
 
+    from smithwaterman_tpu.config import LOCAL as _LOCAL
+
     tile = choose_tile(B, N)
     sm = SubstitutionMatrix.blosum62()
     rng = np.random.default_rng(0)
     codes1 = rng.integers(0, 20, size=(B, N)).astype(np.int32)
     codes2 = rng.integers(0, 20, size=(B, N)).astype(np.int32)
+    # LOCAL score-only uses the production poisoned-S unmasked-best path
+    masked_s = score_only and mode == _LOCAL
+    lens = jnp.full(B, N, jnp.int32) if masked_s else None
     S = batch.scores_tiled(
-        jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile
+        jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile,
+        n=lens, m=lens,
     )
     G = B // tile
     nt = jnp.full((G, tile, 1), N, jnp.int32)
@@ -60,7 +66,7 @@ def bench_fill(B, N, mode, score_only, ncall=32):
             nt_c, mt_c = nm
             tb, stats = pallas_dp.fill_tiled(
                 S, nt_c, mt_c, mode=mode, og=-10.0, eg=-0.5,
-                score_only=score_only,
+                score_only=score_only, masked_s=masked_s,
             )
             bump = (stats[0, 0, 0] * 0.0).astype(jnp.int32)
             return (nt_c + bump, mt_c + bump), stats[0, 0, 0]

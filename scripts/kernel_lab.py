@@ -23,6 +23,9 @@ process — cross-process variance is ~±15%):
     (-25%) / 256 (flat), rb16-f32, R8/R16 without fuse.
   * fakecummax = 44.6 GCUPS: the ceiling with the X-scan free — the scan
     (18 of ~31 wide ops/row) is the exactness-mandated floor.
+  * ptreq (pm_pre by equality vs the fused max W, 2 fewer jnp ops):
+    SLOWER in-process (23.9 vs 25.1 tb-ptrfast) — Mosaic evidently
+    already fuses the >= cascade; the == form extends W's live range.
   * i16 x2-domain (the 2x lever): BLOCKED — Mosaic fails to legalize
     vector<8x128x2xi16> arith.maxsi (and int16 reductions).  Re-run the
     i16 variants after toolchain updates; the kernel code here is ready.
@@ -70,7 +73,7 @@ def _lab_kernel(
     bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
-    selmax=False, ptrfast=False, detrend=False, tb_ref=None,
+    selmax=False, ptrfast=False, detrend=False, ptreq=False, tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -154,11 +157,17 @@ def _lab_kernel(
             # then the packed 2-bit result is shifted ONCE; boundary lane 0
             # resolves to 0 (i==1) / 2 (else) in every mode (fills are
             # (0,-1,-1) / (L+sent, L+sent, L) with sent < 0)
-            pm_pre = jnp.where(
-                Mp >= Xp,
-                jnp.where(Mp >= Yp, p0, p2),
-                jnp.where(Xp >= Yp, p1, p2),
-            )
+            if ptreq:
+                # equality vs the fused running max W replaces the
+                # 3-compare cascade (2 fewer wide ops, bit-identical):
+                # Mp == W iff Mp >= both; else Xp == W iff Xp >= Yp
+                pm_pre = jnp.where(Mp == W, p0, jnp.where(Xp == W, p1, p2))
+            else:
+                pm_pre = jnp.where(
+                    Mp >= Xp,
+                    jnp.where(Mp >= Yp, p0, p2),
+                    jnp.where(Xp >= Yp, p1, p2),
+                )
             fill_pm = jnp.where(
                 jnp.broadcast_to(at_first, fsh),
                 jnp.zeros(fsh, jnp.int32), jnp.full(fsh, 2, jnp.int32),
@@ -308,13 +317,13 @@ def _lab_kernel(
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
         "traceback", "rb_rows", "i16", "selmax", "ptrfast", "detrend",
-        "interpret", "return_tb",
+        "ptreq", "interpret", "return_tb",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
     rb_rows, i16=False, selmax=False, ptrfast=False, detrend=False,
-    interpret=False, return_tb=False,
+    ptreq=False, interpret=False, return_tb=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -325,7 +334,7 @@ def lab_fill(
         og=og, eg=eg, rb_rows=rb_rows, tbp=tbp, mp=MP,
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
-        selmax=selmax, ptrfast=ptrfast, detrend=detrend,
+        selmax=selmax, ptrfast=ptrfast, detrend=detrend, ptreq=ptreq,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -476,6 +485,11 @@ def main():
             S128_i8,
             {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
              "ptrfast": True},
+        ),
+        "tb-ptreq-R8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "ptreq": True},
         ),
         "detrend-fuseR8-i8": (
             S128_i8,

@@ -287,6 +287,9 @@ def _kernel(
             # the per-state-shift cascade (same >= chains); lane 0
             # resolves to M at i==1 (fills 0/-1/-1) else to the cascade
             # on (lsc+sent, lsc+sent, lsc): Y for sent<0, M for sent==0.
+            # (an equality-vs-W3 form with 2 fewer jnp ops measured SLOWER
+            # in-process — kernel_lab tb-ptreq-R8-i8 23.9 vs 25.1; keep
+            # the cascade)
             pm_pre = jnp.where(
                 Mp >= Xp,
                 jnp.where(Mp >= Yp, 0, 2),
