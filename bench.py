@@ -38,8 +38,13 @@ def main():
     rng = np.random.default_rng(0)
     codes1 = rng.integers(0, 20, size=(B, NP)).astype(np.int32)
     codes2 = rng.integers(0, 20, size=(B, MP)).astype(np.int32)
+    # production LOCAL path: padded cells of S poisoned so the kernel runs
+    # its unmasked running-best fast path (batch_aligner._fill_pallas)
+    lens1 = jnp.full(B, NP, jnp.int32)
+    lens2 = jnp.full(B, MP, jnp.int32)
     S0 = batch.scores_tiled(
-        jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile
+        jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile,
+        n=lens1, m=lens2,
     )
     G = B // tile
     nt = jnp.full((G, tile, 1), NP, jnp.int32)
@@ -51,7 +56,7 @@ def main():
             nt_c, mt_c = nmt
             tb, stats = pallas_dp.fill_tiled(
                 S, nt_c, mt_c, mode=LOCAL, og=-10.0, eg=-0.5,
-                interpret=not on_tpu,
+                interpret=not on_tpu, masked_s=True,
             )
             # serialize through the tiny length arrays: next iteration
             # depends on this one's output without copying S

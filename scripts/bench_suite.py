@@ -49,8 +49,9 @@ def bench_fill(B, N, mode, score_only, ncall=32):
     rng = np.random.default_rng(0)
     codes1 = rng.integers(0, 20, size=(B, N)).astype(np.int32)
     codes2 = rng.integers(0, 20, size=(B, N)).astype(np.int32)
-    # LOCAL score-only uses the production poisoned-S unmasked-best path
-    masked_s = score_only and mode == _LOCAL
+    # LOCAL uses the production poisoned-S unmasked-best path (both the
+    # score-only and traceback fills)
+    masked_s = mode == _LOCAL
     lens = jnp.full(B, N, jnp.int32) if masked_s else None
     S = batch.scores_tiled(
         jnp.asarray(sm.table), codes1, codes2, as_int8=True, tile=tile,

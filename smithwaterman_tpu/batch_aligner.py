@@ -242,9 +242,13 @@ class BatchAligner:
         )
 
     def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
-        # LOCAL score-only: poison padded cells of S so the kernel can run
-        # its unmasked running-best fast path (see fill_tiled masked_s)
-        masked_s = score_only and self.mode == LOCAL
+        # LOCAL: poison padded cells of S so the kernel can run its
+        # unmasked running-best fast path (see fill_tiled masked_s).  The
+        # argmax-position proof needs every pair non-empty; empty pairs
+        # fall back to the masked kernel.
+        masked_s = self.mode == LOCAL and bool(
+            np.all(np.asarray(n) >= 1) and np.all(np.asarray(m) >= 1)
+        )
         S = self._scores(
             codes1, codes2, tile,
             n=n if masked_s else None, m=m if masked_s else None,

@@ -52,8 +52,9 @@ def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TI
         its per-row argmax mask (``masked_s=True``): one poisoned
         substitution drags M at least 128 below the running best (M-state
         values are bounded by the best + max entry), so padded cells can
-        never raise the best score.  Traceback paths keep the in-kernel
-        mask (argmax *positions* still need it).
+        never raise the best score.  Argmax *positions* are exact too for
+        non-empty pairs (n, m >= 1) — see the masked_s proof in
+        pallas_dp._kernel — so traceback fills use the fast path as well.
     Returns:
       (G, NP, tile, MP) int8 (as_int8) or f32, G = B // tile.
     """

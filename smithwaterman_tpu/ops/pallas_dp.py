@@ -407,11 +407,23 @@ def _kernel(
 
         # ---- running best (local): strict `>` keeps the first (smallest) i
         if mode == LOCAL:
-            if not track_arg and masked_s:
+            if masked_s:
                 # padded cells of S are poisoned (batch.scores_tiled n=/m=):
                 # their clamped M is <= max(0, best - 128) so an unmasked
-                # max is value-exact — skips the per-row mask (2 wide ops)
-                rbv = jnp.maximum(rbv, val_m)
+                # max is value-exact — skips the per-row mask (2-3 wide ops).
+                # The argmax POSITION is exact too (callers guarantee
+                # n,m >= 1): when gmax > 0 no padded cell can tie it; when
+                # gmax == 0 every lane (valid or padded) first hits 0 at
+                # row i=1 under the strict `>` update, so min_i = 1 with
+                # rbi owned by a real row, and the min_j tie-break at
+                # _finish lands on lane 0 (j=1, valid since m >= 1) —
+                # identical to the masked path.
+                if not track_arg:
+                    rbv = jnp.maximum(rbv, val_m)
+                else:
+                    upd = val_m > rbv
+                    rbv = jnp.where(upd, val_m, rbv)
+                    rbi = jnp.where(upd, i, rbi)
                 return val_m, val_x, val_y, rbv, rbi, accv
             in_range = valid_j & (i <= nvec)
             masked = jnp.where(in_range, val_m, NEG)

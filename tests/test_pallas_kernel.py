@@ -130,6 +130,52 @@ def test_kernel_score_only_masked_s():
     assert float(ref.best[5]) == 0.0  # the all-mismatch pair exercised the tie
 
 
+def test_kernel_traceback_masked_s():
+    """LOCAL traceback with poisoned S padding + unmasked running best:
+    pointers in the valid region, best scores AND argmax positions must be
+    bit-identical to the masked kernel / scan reference — including the
+    gmax == 0 tie, where padded lanes also reach 0 at row 1 but must lose
+    the min-j tie-break to valid lane 0 (the masked_s proof in
+    pallas_dp._kernel)."""
+    import jax.numpy as jnp
+
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _random_batch(sm.n_symbols)
+    star = sm.seq_to_index("*" * NP_PAD)
+    ala = sm.seq_to_index("A" * MP_PAD)
+    codes1 = codes1.copy()
+    codes2 = codes2.copy()
+    codes1[5, :] = star  # all-mismatch pair: local best is exactly 0
+    codes2[5, :] = ala
+    S_tiled = np.asarray(
+        batch.scores_tiled(
+            sm.table, codes1, codes2, as_int8=True, tile=TB,
+            n=jnp.asarray(n), m=jnp.asarray(m),
+        )
+    )
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=LOCAL, og=OG, eg=EG, interpret=True,
+        masked_s=True,
+    )
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=LOCAL, og=OG, eg=EG)
+    assert float(ref.best[5]) == 0.0
+    for b in range(TB):
+        nb, mb = int(n[b]), int(m[b])
+        ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
+        theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
+        np.testing.assert_array_equal(ours, theirs, err_msg=f"pair {b} tb")
+        assert stats[b, 0] == pytest.approx(float(ref.best[b])), f"pair {b}"
+        if float(ref.best[b]) > 0:
+            assert int(stats[b, 1]) == int(ref.best_i[b]), f"pair {b} i"
+            assert int(stats[b, 2]) == int(ref.best_j[b]), f"pair {b} j"
+        else:
+            # zero-best argmax must still land on a valid cell (1, 1)
+            assert int(stats[b, 1]) == 1 and int(stats[b, 2]) == 1, f"pair {b}"
+
+
 def test_row_block_divides_np():
     """Regression (ADVICE r1): beyond-ladder buckets round NP to 256-multiples
     that a power-of-two row block need not divide — e.g. an 8300x50 pair
