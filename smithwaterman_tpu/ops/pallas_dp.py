@@ -155,9 +155,11 @@ def _kernel(
     seeded: bool = False,
     ckpt: bool = False,
     masked_s: bool = False,
+    finals_gate: bool = False,
 ):
     """Ref layout (flag-dependent):
       inputs:  n (1,TBP,1), m (1,TBP,1),
+               [finals_gate: finals (G, n_row_blocks) SMEM, full array],
                [seeded: i0 (1,1) SMEM, icm/icx/icy (1,TBP,MP)],
                S (1,RB,TBP,MP)
       outputs: [not score_only: tb (1,RB,TBP,MP)], stats (1,TBP,STATS_W),
@@ -167,6 +169,7 @@ def _kernel(
     it = iter(refs)
     n_ref = next(it)
     m_ref = next(it)
+    finals_ref = next(it) if finals_gate else None
     if seeded:
         i0_ref = next(it)
         icm_ref = next(it)
@@ -214,20 +217,21 @@ def _kernel(
         qo, qe = og, eg
 
     valid_j = jl < mvec  # lanes carrying real columns
-    # loop-invariant pieces of the X prefix scan (pe is per-row in glocal)
-    if mode != GLOCAL:
-        lanef_pe = lanef * eg
-        # detrend (score-only): fold the +og and the per-lane -l*eg detrend
-        # into ONE loop-invariant vector added BEFORE the shift, so
-        # shift(max + povec)[l] = max[l-1] + og - l*eg = h[l] exactly (all
-        # quantities are dyadic/half-integers -> f32-exact in either
-        # association).  Saves one wide op per row; measured +14% in the
-        # lab (scripts/kernel_lab.py detrend variants).  Not used on the
-        # traceback path: the X-pointer compare needs hraw, which detrend
-        # no longer materializes (lab measured it a regression there), and
-        # not in GLOCAL, where pe varies per row so povec would cost more
-        # to rebuild than it saves.
-        povec = og - lanef_pe - eg
+    # loop-invariant pieces of the X prefix scan.  lanef_pe/povec use the
+    # INTERIOR penalties (og, eg): exact for every row outside glocal's
+    # free last row, so glocal "interior" row blocks (finals_gate blocks
+    # with no pair's final row) share them too.
+    lanef_pe = lanef * eg
+    # detrend (score-only): fold the +og and the per-lane -l*eg detrend
+    # into ONE loop-invariant vector added BEFORE the shift, so
+    # shift(max + povec)[l] = max[l-1] + og - l*eg = h[l] exactly (all
+    # quantities are dyadic/half-integers -> f32-exact in either
+    # association).  Saves one wide op per row; measured +14% in the
+    # lab (scripts/kernel_lab.py detrend variants).  Not used on the
+    # traceback path: the X-pointer compare needs hraw, which detrend
+    # no longer materializes (lab measured it a regression there), and
+    # not in GLOCAL rows that may be a pair's last (pe varies there).
+    povec = og - lanef_pe - eg
 
     @pl.when(rb == 0)
     def _init():
@@ -252,11 +256,18 @@ def _kernel(
             fX_s[:, :] = z
             fY_s[:, :] = z
 
-    def one_row(r, Mp, Xp, Yp, rbv, rbi, accv):
+    def one_row(r, Mp, Xp, Yp, rbv, rbi, accv, capture=True, interior=False):
         """One DP row entirely in registers: consumes the previous row's
         (M, X, Y) values, returns this row's — scratch is only touched at
         row-group boundaries (VMEM carry traffic was the kernel's main
-        cost, ~half the runtime at tile=128)."""
+        cost, ~half the runtime at tile=128).
+
+        ``capture=False``/``interior=True`` is the specialized non-LOCAL
+        variant for row blocks that contain NO pair's final row
+        (finals_gate): the i == n capture is skipped (4 wide ops/row) and
+        glocal's per-row last-row penalty switch collapses to the interior
+        constants — identical values on such blocks by construction —
+        which also re-enables the detrended score-only scan."""
         i = i0 + rb * rb_rows + r + 1  # 1-based global row
         fi = jnp.float32(i)
         srow = s_ref[0, r, :, :].astype(jnp.float32)
@@ -338,7 +349,7 @@ def _kernel(
             val_y = jnp.maximum(val_y, 0.0)
 
         # ---- X: gap in seq1, from (i, j-1) — max-plus prefix scan
-        if mode == GLOCAL:
+        if mode == GLOCAL and not interior:
             # free gaps along the last row of seq1 (rs:166-167), per pair
             last_row = i == nvec  # (TBP, 1)
             po = jnp.where(last_row, so, og)
@@ -347,8 +358,8 @@ def _kernel(
             po, pe = og, eg
         x0b = lsc_i + sent  # boundary X at (i, 0)
         g0 = lsc_i + po     # max(M,Y) at (i, 0) + po  (Y=lsc_i dominates)
-        lpe = lanef * pe if mode == GLOCAL else lanef_pe
-        if score_only and mode != GLOCAL:
+        lpe = lanef * pe if (mode == GLOCAL and not interior) else lanef_pe
+        if score_only and (mode != GLOCAL or interior):
             # detrended h in one add + one shift (see povec above); lane 0
             # gets the shift fill g0, identical to hraw[0] - 0*eg
             h = _shift_right(jnp.maximum(val_m, val_y) + povec, g0)
@@ -433,7 +444,7 @@ def _kernel(
                 upd = masked > rbv
                 rbv = jnp.where(upd, masked, rbv)
                 rbi = jnp.where(upd, i, rbi)
-        else:
+        elif capture:
             # capture the whole (M, X, Y) row the row each pair's n is
             # reached (4 wide ops vs ~10 for the old per-row masked-sum
             # accumulate); the lane at m is extracted once at _finish
@@ -454,31 +465,60 @@ def _kernel(
         if cand <= _MAX_R and rb_rows % cand == 0:
             R = cand
 
-    def group_step(g, _):
-        Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
-        if mode == LOCAL:
-            rbv = runbest[:, :]
-            rbi = runbest_i[:, :] if track_arg else None
-            accv = None
-        else:
-            rbv = rbi = None
-            accv = (fM_s[:, :], fX_s[:, :], fY_s[:, :])
-        for q in range(R):
-            Mp, Xp, Yp, rbv, rbi, accv = one_row(
-                g * R + q, Mp, Xp, Yp, rbv, rbi, accv
-            )
-        cm[:, :] = Mp
-        cx[:, :] = Xp
-        cy[:, :] = Yp
-        if mode == LOCAL:
-            runbest[:, :] = rbv
-            if track_arg:
-                runbest_i[:, :] = rbi
-        else:
-            fM_s[:, :], fX_s[:, :], fY_s[:, :] = accv
-        return 0
+    def make_group_step(capture, interior):
+        def group_step(g, _):
+            Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
+            if mode == LOCAL:
+                rbv = runbest[:, :]
+                rbi = runbest_i[:, :] if track_arg else None
+                accv = None
+            elif capture:
+                rbv = rbi = None
+                accv = (fM_s[:, :], fX_s[:, :], fY_s[:, :])
+            else:
+                rbv = rbi = accv = None
+            for q in range(R):
+                Mp, Xp, Yp, rbv, rbi, accv = one_row(
+                    g * R + q, Mp, Xp, Yp, rbv, rbi, accv,
+                    capture=capture, interior=interior,
+                )
+            cm[:, :] = Mp
+            cx[:, :] = Xp
+            cy[:, :] = Yp
+            if mode == LOCAL:
+                runbest[:, :] = rbv
+                if track_arg:
+                    runbest_i[:, :] = rbi
+            elif capture:
+                fM_s[:, :], fX_s[:, :], fY_s[:, :] = accv
+            return 0
 
-    jax.lax.fori_loop(0, rb_rows // R, group_step, 0, unroll=False)
+        return group_step
+
+    if mode == LOCAL or not finals_gate:
+        jax.lax.fori_loop(
+            0, rb_rows // R, make_group_step(True, False), 0, unroll=False
+        )
+    else:
+        # block specialization: finals[g, rb] says whether ANY pair's final
+        # row i == n lands in this row block (host-computed, SMEM).  Blocks
+        # without one run a lean loop — no capture selects, and glocal
+        # collapses to interior penalties (+ detrended score-only scan).
+        gate = finals_ref[pl.program_id(0), rb] != 0
+
+        @pl.when(gate)
+        def _blk_with_finals():
+            jax.lax.fori_loop(
+                0, rb_rows // R, make_group_step(True, False), 0,
+                unroll=False,
+            )
+
+        @pl.when(jnp.logical_not(gate))
+        def _blk_interior():
+            jax.lax.fori_loop(
+                0, rb_rows // R, make_group_step(False, True), 0,
+                unroll=False,
+            )
 
     if ckpt:
         # the block index map folds several row blocks onto one checkpoint
@@ -561,6 +601,7 @@ def fill_tiled(
     n_row_blocks = NP // rb_rows
     assert n_row_blocks * rb_rows == NP
 
+    finals_gate = mode != LOCAL
     kernel = functools.partial(
         _kernel,
         mode=mode,
@@ -572,6 +613,7 @@ def fill_tiled(
         n_row_blocks=n_row_blocks,
         score_only=score_only,
         masked_s=masked_s,
+        finals_gate=finals_gate,
     )
 
     in_specs = [
@@ -582,6 +624,24 @@ def fill_tiled(
         pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    args = [n, m]
+    if finals_gate:
+        # finals[g, rb] = does row block rb hold some pair's final row
+        # i == n?  (n >= 1 lands in block (n-1) // rb_rows; n == 0 never
+        # fires the capture, matching the ungated kernel.)
+        blk = (n[:, :, 0] - 1) // rb_rows  # (G, TBP)
+        rbi_ = jnp.arange(n_row_blocks, dtype=jnp.int32)
+        finals = jnp.any(
+            blk[:, :, None] == rbi_[None, None, :], axis=1
+        ).astype(jnp.int32)  # (G, n_row_blocks)
+        # full-array SMEM block (TPU lowering requires whole trailing dims)
+        in_specs.insert(
+            2,
+            pl.BlockSpec((G, n_row_blocks), lambda ib, rb: (0, 0),
+                         memory_space=pltpu.SMEM),
+        )
+        args.append(finals)
+    args.append(S)
     stats_shape = jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda ib, rb: (ib, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -611,7 +671,7 @@ def fill_tiled(
             compiler_params=compiler_params,
             cost_estimate=cost,
             interpret=interpret,
-        )(n, m, S)
+        )(*args)
         return None, stats
 
     tb_shape = jax.ShapeDtypeStruct((G, NP, tbp, MP), jnp.uint8)
@@ -627,7 +687,7 @@ def fill_tiled(
         compiler_params=compiler_params,
         cost_estimate=cost,
         interpret=interpret,
-    )(n, m, S)
+    )(*args)
     return tb, stats
 
 

@@ -176,6 +176,47 @@ def test_kernel_traceback_masked_s():
             assert int(stats[b, 1]) == 1 and int(stats[b, 2]) == 1, f"pair {b}"
 
 
+@pytest.mark.parametrize("mode", [GLOCAL, GLOBAL])
+@pytest.mark.parametrize("score_only", [False, True])
+def test_kernel_interior_row_blocks(mode, score_only):
+    """Non-LOCAL block specialization (finals_gate): with NP=128, MP=4096
+    the row block is 32 rows (4 blocks); final rows clustered into blocks
+    0 and 3 leave blocks 1-2 on the lean interior loop (no capture,
+    glocal interior penalties + detrended score-only scan) — results must
+    stay bit-identical to the scan reference."""
+    sm = SubstitutionMatrix.blosum62()
+    NP, MP = 128, 4096
+    from smithwaterman_tpu.ops.pallas_dp import _row_block
+
+    assert _row_block(NP, MP, TB, 1) == 32  # the premise of this test
+    codes1 = RNG.integers(0, sm.n_symbols, size=(TB, NP)).astype(np.int32)
+    codes2 = RNG.integers(0, sm.n_symbols, size=(TB, MP)).astype(np.int32)
+    n = np.array([5, 20, 32, 127, 128, 100, 31, 97], dtype=np.int32)
+    m = np.array([4096, 60, 333, 4096, 1, 2048, 100, 7], dtype=np.int32)
+    assert set((n - 1) // 32) == {0, 3}  # blocks 1, 2 are interior
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
+    )
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=mode, og=OG, eg=EG, score_only=score_only,
+        interpret=True,
+    )
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=mode, og=OG, eg=EG,
+                          score_only=score_only)
+    for b in range(TB):
+        np.testing.assert_allclose(
+            stats[b, 3:6], np.asarray(ref.final[b]), err_msg=f"pair {b}"
+        )
+        if not score_only:
+            nb, mb = int(n[b]), int(m[b])
+            ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
+            theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
+            np.testing.assert_array_equal(ours, theirs, err_msg=f"pair {b}")
+
+
 def test_row_block_divides_np():
     """Regression (ADVICE r1): beyond-ladder buckets round NP to 256-multiples
     that a power-of-two row block need not divide — e.g. an 8300x50 pair
