@@ -94,7 +94,7 @@ def main():
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", "suite needs the TPU"
 
-    from smithwaterman_tpu.config import GLOCAL, LOCAL
+    from smithwaterman_tpu.config import GLOBAL, GLOCAL, LOCAL
     from smithwaterman_tpu.matrices import SubstitutionMatrix
     from smithwaterman_tpu.ops import banded
 
@@ -108,7 +108,9 @@ def main():
         (2048, 256), (512, 512), (128, 1024),
     ] + ([] if args.quick else [(32, 2048)])
     for B, N in fill_cfgs:
-        for mode, mname in ((LOCAL, "local"), (GLOCAL, "glocal")):
+        for mode, mname in (
+            (LOCAL, "local"), (GLOCAL, "glocal"), (GLOBAL, "global")
+        ):
             for so in (False, True):
                 g, dt = bench_fill(B, N, mode, so)
                 emit(

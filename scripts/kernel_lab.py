@@ -73,7 +73,8 @@ def _lab_kernel(
     bump_ref, s_ref, stats_ref, cm, cx, cy, runbest,
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
-    selmax=False, ptrfast=False, detrend=False, ptreq=False, tb_ref=None,
+    selmax=False, ptrfast=False, detrend=False, ptreq=False, xscan=False,
+    tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -233,7 +234,16 @@ def _lab_kernel(
             # is exactly hraw = shift(max(val_m, val_y) + og) — already
             # computed for the scan (lane 0: x0b+eg > g0 is never true, and
             # the M-vs-Y fill resolves to Y=8, matching the old cascade)
-            if detrend:
+            if detrend and xscan:
+                # X pointer straight from the scan, NO shift/clamp:
+                # extend wins (strict, LOCAL) iff c[j-1] > h[j] iff
+                # c[j] > h[j] (c is the cummax of h).  The clamped-X[j-1]
+                # divergence cases all land on val_x[j] == 0, where the
+                # CELL_STOP overwrite below masks the pointer (proof in
+                # ops/pallas_dp.py); lane 0 has c[0] == h[0] -> False,
+                # matching x0b+eg > g0 for admissible penalties.
+                x_wins = c > h
+            elif detrend:
                 # same compare in the detrended domain: clamp c at -l*eg
                 # (== val_x clamped at 0), shift, strict > h; lane-0 fill
                 # NEG keeps x_wins false there as before
@@ -317,13 +327,13 @@ def _lab_kernel(
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
         "traceback", "rb_rows", "i16", "selmax", "ptrfast", "detrend",
-        "ptreq", "interpret", "return_tb",
+        "ptreq", "xscan", "interpret", "return_tb",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
     rb_rows, i16=False, selmax=False, ptrfast=False, detrend=False,
-    ptreq=False, interpret=False, return_tb=False,
+    ptreq=False, xscan=False, interpret=False, return_tb=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -335,6 +345,7 @@ def lab_fill(
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
         selmax=selmax, ptrfast=ptrfast, detrend=detrend, ptreq=ptreq,
+        xscan=xscan,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -499,6 +510,11 @@ def main():
             S128_i8,
             {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
              "ptrfast": True, "detrend": True},
+        ),
+        "tb-xscan-R8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True},
         ),
         "tb-ptrfast-detrend-R16-i8": (
             S128_i8,

@@ -122,24 +122,36 @@ def walk_band(
             return r1, r2, i, j, s, WALK_UP
 
 
-@functools.partial(jax.jit, static_argnames=("W",))
-def _window(tb_band, g, t, j0, *, W: int):
-    """Device-side gather of one pair's (C, W) column window from the band —
-    the only pointer bytes that cross the (possibly tunnel-bound)
-    device->host boundary."""
-    C = tb_band.shape[1]
-    sl = jax.lax.dynamic_slice(
-        tb_band, (g, 0, t, j0), (1, C, 1, W)
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "og", "eg", "W", "C", "interpret"),
+)
+def _seg_fill_windows(
+    S_tiled, nt, mt, ckm, ckx, cky, m0, x0, y0, sk, gs, ts, j0s,
+    *, mode: int, og: float, eg: float, W: int, C: int, interpret: bool,
+):
+    """ONE device call per traceback segment: slice the segment's S band,
+    select its seed carries (checkpoint ``sk - 1``, or the closed-form
+    row-0 carries at ``sk == 0``), run the band re-fill kernel, and gather
+    every active pair's (C, W) column window.  Fusing these used to be 6+
+    separate dispatches per segment — at ~15-20 ms tunnel round-trip each,
+    dispatch (not compute) dominated align_long wall time."""
+    G, NP, tbp, MP = S_tiled.shape
+    S_band = jax.lax.dynamic_slice(
+        S_tiled, (0, sk * C, 0, 0), (G, C, tbp, MP)
     )
-    return sl[0, :, 0, :]
+    idx = jnp.maximum(sk - 1, 0)
 
+    def seed(ck, r0):
+        s = jax.lax.dynamic_slice(ck, (0, idx, 0, 0), (G, 1, tbp, MP))
+        return jnp.where(sk == 0, r0, s[:, 0])
 
-@functools.partial(jax.jit, static_argnames=("W",))
-def _windows_batch(tb_band, gs, ts, j0s, *, W: int):
-    """All active pairs' windows in ONE device call (the per-pair gather
-    costs a full dispatch round-trip each — ~15 ms over the axon tunnel —
-    which dominated align_long wall time)."""
-    C = tb_band.shape[1]
+    icm, icx, icy = seed(ckm, m0), seed(ckx, x0), seed(cky, y0)
+    i0 = jnp.reshape(sk * C, (1, 1)).astype(jnp.int32)
+    tb_band, _ = pallas_dp.fill_band(
+        S_band, nt, mt, i0, icm, icx, icy,
+        mode=mode, og=og, eg=eg, interpret=interpret,
+    )
 
     def one(g, t, j0):
         sl = jax.lax.dynamic_slice(tb_band, (g, 0, t, j0), (1, C, 1, W))
@@ -148,9 +160,9 @@ def _windows_batch(tb_band, gs, ts, j0s, *, W: int):
     return jax.vmap(one)(gs, ts, j0s)
 
 
-def _gather_windows(tb_band, items, W: int) -> np.ndarray:
-    """items: [(g, t, j0)]; count padded to a power of two so the number of
-    compiled programs stays O(log B)."""
+def _pad_items(items):
+    """Pad the active-pair list to a power of two so the number of compiled
+    programs stays O(log B)."""
     K = len(items)
     Kp = 1 << max(0, K - 1).bit_length() if K > 1 else 1
     gs = np.zeros(Kp, np.int32)
@@ -158,11 +170,7 @@ def _gather_windows(tb_band, items, W: int) -> np.ndarray:
     j0s = np.zeros(Kp, np.int32)
     for k, (g, t, j0) in enumerate(items):
         gs[k], ts[k], j0s[k] = g, t, j0
-    return np.asarray(
-        _windows_batch(
-            tb_band, jnp.asarray(gs), jnp.asarray(ts), jnp.asarray(j0s), W=W
-        )
-    )
+    return jnp.asarray(gs), jnp.asarray(ts), jnp.asarray(j0s)
 
 
 def align_long(
@@ -212,6 +220,9 @@ def align_long(
 
     local = mode == LOCAL
     m0_np, x0_np, y0_np = row0_carries(B, MP, mode, og, eg)
+    m0d = jnp.asarray(m0_np.reshape(G, tbp, MP))
+    x0d = jnp.asarray(x0_np.reshape(G, tbp, MP))
+    y0d = jnp.asarray(y0_np.reshape(G, tbp, MP))
     n_segs = NP // C
     for sk in range(n_segs - 1, -1, -1):
         active = [
@@ -220,28 +231,21 @@ def align_long(
         ]
         if not active:
             continue
-        if sk == 0:
-            icm = jnp.asarray(m0_np.reshape(G, tbp, MP))
-            icx = jnp.asarray(x0_np.reshape(G, tbp, MP))
-            icy = jnp.asarray(y0_np.reshape(G, tbp, MP))
-        else:
-            icm, icx, icy = ckm[:, sk - 1], ckx[:, sk - 1], cky[:, sk - 1]
-        S_band = S_tiled[:, sk * C : (sk + 1) * C]
-        tb_band, _ = pallas_dp.fill_band(
-            S_band, nt, mt, jnp.full((1, 1), sk * C, jnp.int32),
-            icm, icx, icy,
-            mode=mode, og=og, eg=eg, interpret=interpret,
-        )
-        # batched walk: gather every pending pair's window in one device
-        # call per round (WALK_LEFT re-rounds are rare: only gap runs
-        # longer than the window need them)
+        # ONE fused device call: band re-fill + every pending pair's
+        # window gather (WALK_LEFT re-rounds re-fill too, but are rare:
+        # only gap runs longer than the window need them)
         pend = [(b, *cur[b]) for b in active]
         while pend:
             items = []
             for b, i, j, s in pend:
                 g, t = divmod(b, tbp)
                 items.append((g, t, max(0, min(j - W, MP - W))))
-            wins = _gather_windows(tb_band, items, W)
+            gs, ts, j0s = _pad_items(items)
+            wins = np.asarray(_seg_fill_windows(
+                S_tiled, nt, mt, ckm, ckx, cky, m0d, x0d, y0d,
+                jnp.int32(sk), gs, ts, j0s,
+                mode=mode, og=og, eg=eg, W=W, C=C, interpret=interpret,
+            ))
             nxt = []
             for k, (b, i, j, s) in enumerate(pend):
                 j0 = items[k][2]

@@ -222,15 +222,16 @@ def _kernel(
     # free last row, so glocal "interior" row blocks (finals_gate blocks
     # with no pair's final row) share them too.
     lanef_pe = lanef * eg
-    # detrend (score-only): fold the +og and the per-lane -l*eg detrend
-    # into ONE loop-invariant vector added BEFORE the shift, so
+    # detrend: fold the +og and the per-lane -l*eg detrend into ONE
+    # loop-invariant vector added BEFORE the shift, so
     # shift(max + povec)[l] = max[l-1] + og - l*eg = h[l] exactly (all
     # quantities are dyadic/half-integers -> f32-exact in either
     # association).  Saves one wide op per row; measured +14% in the
-    # lab (scripts/kernel_lab.py detrend variants).  Not used on the
-    # traceback path: the X-pointer compare needs hraw, which detrend
-    # no longer materializes (lab measured it a regression there), and
-    # not in GLOCAL rows that may be a pair's last (pe varies there).
+    # lab (scripts/kernel_lab.py detrend variants).  Used on BOTH the
+    # score-only and traceback paths (the xscan X pointer below reads
+    # the compare off the scan, so hraw is never materialized); only
+    # GLOCAL rows that may be a pair's last keep the raw path (pe
+    # varies there).
     povec = og - lanef_pe - eg
 
     @pl.when(rb == 0)
@@ -358,10 +359,14 @@ def _kernel(
             po, pe = og, eg
         x0b = lsc_i + sent  # boundary X at (i, 0)
         g0 = lsc_i + po     # max(M,Y) at (i, 0) + po  (Y=lsc_i dominates)
-        lpe = lanef * pe if (mode == GLOCAL and not interior) else lanef_pe
-        if score_only and (mode != GLOCAL or interior):
+        detrended = mode != GLOCAL or interior  # pe == eg on every row
+        lpe = lanef_pe if detrended else lanef * pe
+        if detrended:
             # detrended h in one add + one shift (see povec above); lane 0
-            # gets the shift fill g0, identical to hraw[0] - 0*eg
+            # gets the shift fill g0, identical to hraw[0] - 0*eg.  Used on
+            # BOTH the score-only and traceback paths: the X pointer reads
+            # straight off the scan (x_wins below), so hraw is never needed
+            # when pe is the constant eg.
             h = _shift_right(jnp.maximum(val_m, val_y) + povec, g0)
         else:
             gline = jnp.maximum(val_m, val_y) + po
@@ -396,13 +401,33 @@ def _kernel(
             # pre-shift and the 2-bit result shifted once; its lane-0
             # fill is the compare on (lsc_i+sent, lsc_i), i.e. on sent.
             # Constants pre-shifted <<2.
-            Xm1 = _shift_right(val_x, x0b)
+            #
+            # xscan (r2): in the detrended domain the compare reads
+            # straight off the scan.  Extend wins iff Xd[j-1] = c[j-1]
+            # beats the open h[j]:
+            #   LOCAL (strict):  c[j-1] > h[j]  <=>  c[j] > h[j]
+            #     (c = cummax(h): if c[j-1] > h[j] then c[j] = c[j-1];
+            #     else c[j] = h[j]).  NO shift, NO clamp.  Divergences
+            #     from comparing the UNCLAMPED Xd[j-1] (clamped val_x is
+            #     what rs:177 compares) need clamp-raised X[j-1] = 0 and
+            #     eg > hraw[j], which force val_x[j] = max(eg, hraw, 0)
+            #     = 0 — the CELL_STOP overwrite below masks exactly those
+            #     pointers, so the emitted tb bytes are bit-identical.
+            #     Lane 0: c[0] == h[0] -> False == (9og+11eg > 0).
+            #   non-LOCAL (>=): shift c right with the exact boundary
+            #     extend value x0b+eg as lane-0 fill: x0b+eg >= h[0]=g0
+            #     <=> 9og+10eg >= 0, true only in the degenerate
+            #     og=eg=0 case — same resolution as the old cascade.
             if mode == LOCAL:
-                x_wins = Xm1 + eg > hraw
+                x_wins = c > h
                 myp = jnp.where(val_m > val_y, 0, 8)
                 fill_my = 8  # sent > 0 never holds
             else:
-                x_wins = Xm1 + pe >= hraw
+                if detrended:
+                    x_wins = _shift_right(c, x0b + eg) >= h
+                else:
+                    Xm1 = _shift_right(val_x, x0b)
+                    x_wins = Xm1 + pe >= hraw
                 myp = jnp.where(val_m >= val_y, 0, 8)
                 fill_my = 0 if sent >= 0.0 else 8
             my = _shift_right(myp, fill_my)

@@ -781,13 +781,40 @@ def striped_band_tb(
     return tb
 
 
-@functools.partial(jax.jit, static_argnames=("W",))
-def _window(tb, b, j0, *, W: int):
-    """One pair's (C, W) column window of the striped band pointers (the
-    only pointer bytes that leave the mesh)."""
-    C = tb.shape[1]
-    sl = jax.lax.dynamic_slice(tb, (b, 0, j0), (1, C, W))
-    return sl[0]
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "og", "eg", "block_rows", "mesh", "rows",
+                     "interpret", "W", "C"),
+)
+def _striped_seg_windows(
+    S, nv, mv, ckm, ckx, cky, m0, x0, y0, sk, bs, j0s,
+    *, mode, og, eg, block_rows, mesh, rows, interpret, W: int, C: int,
+):
+    """ONE device call per traceback segment: slice the segment's S band,
+    select its seeds (checkpoint ``sk - 1`` or the closed-form row-0
+    carries), run the striped band re-fill, and gather every active pair's
+    (C, W) window — the only pointer bytes that leave the mesh.  Unfused,
+    each of those steps was a separate dispatch round-trip per segment."""
+    B, NP, MP = S.shape
+    S_band = jax.lax.dynamic_slice(S, (0, sk * C, 0), (B, C, MP))
+    idx = jnp.maximum(sk - 1, 0)
+
+    def seed(ck, r0):
+        s = jax.lax.dynamic_slice(ck, (0, idx, 0), (B, 1, MP))
+        return jnp.where(sk == 0, r0, s[:, 0])
+
+    icm, icx, icy = seed(ckm, m0), seed(ckx, x0), seed(cky, y0)
+    tb = striped_band_tb(
+        S_band, nv, mv, (sk * C).astype(jnp.int32), icm, icx, icy,
+        mode=mode, og=og, eg=eg, block_rows=block_rows, mesh=mesh,
+        rows=rows, interpret=interpret,
+    )
+
+    def one(b, j0):
+        sl = jax.lax.dynamic_slice(tb, (b, 0, j0), (1, C, W))
+        return sl[0]
+
+    return jax.vmap(one)(bs, j0s)
 
 
 def striped_align(
@@ -849,6 +876,7 @@ def striped_align(
 
     local = mode == LOCAL
     m0_np, x0_np, y0_np = longseq.row0_carries(B, MP, mode, og, eg)
+    m0d, x0d, y0d = (jnp.asarray(a) for a in (m0_np, x0_np, y0_np))
     n_segs = NP // C
     for sk in range(n_segs - 1, -1, -1):
         active = [
@@ -857,30 +885,33 @@ def striped_align(
         ]
         if not active:
             continue
-        if sk == 0:
-            icm = jnp.asarray(m0_np)
-            icx = jnp.asarray(x0_np)
-            icy = jnp.asarray(y0_np)
-        else:
-            icm, icx, icy = ckm[:, sk - 1], ckx[:, sk - 1], cky[:, sk - 1]
-        tb = striped_band_tb(
-            S[:, sk * C : (sk + 1) * C], nv, mv,
-            jnp.int32(sk * C), icm, icx, icy,
-            mode=mode, og=og, eg=eg, block_rows=block_rows, mesh=mesh,
-            rows=rows, interpret=interpret,
-        )
-        for b in active:
-            i, j, s = cur[b]
-            status = longseq.WALK_LEFT
-            while status == longseq.WALK_LEFT:
-                j0 = max(0, min(j - W, MP - W))
-                win = np.asarray(_window(tb, b, j0, W=W))
+        pend = [(b, *cur[b]) for b in active]
+        while pend:
+            j0s_py = [max(0, min(j - W, MP - W)) for _, _, j, _ in pend]
+            K = len(pend)
+            Kp = 1 << max(0, K - 1).bit_length() if K > 1 else 1
+            bs = np.zeros(Kp, np.int32)
+            j0s = np.zeros(Kp, np.int32)
+            bs[:K] = [b for b, *_ in pend]
+            j0s[:K] = j0s_py
+            wins = np.asarray(_striped_seg_windows(
+                S, nv, mv, ckm, ckx, cky, m0d, x0d, y0d,
+                jnp.int32(sk), jnp.asarray(bs), jnp.asarray(j0s),
+                mode=mode, og=og, eg=eg, block_rows=block_rows, mesh=mesh,
+                rows=rows, interpret=interpret, W=W, C=C,
+            ))
+            nxt = []
+            for k, (b, i, j, s) in enumerate(pend):
                 c1, c2, i, j, s, status = longseq.walk_band(
-                    win, sk * C, j0, i, j, s, local
+                    wins[k], sk * C, j0s_py[k], i, j, s, local
                 )
                 chunks1[b].extend(c1)
                 chunks2[b].extend(c2)
-            cur[b] = None if status == longseq.WALK_DONE else (i, j, s)
+                if status == longseq.WALK_LEFT:
+                    nxt.append((b, i, j, s))
+                else:
+                    cur[b] = None if status == longseq.WALK_DONE else (i, j, s)
+            pend = nxt
 
     idx_lists = []
     for b in range(B):
