@@ -2,6 +2,12 @@
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor JAX_PLATFORMS=cpu even where sitecustomize pre-registers a TPU
+# plugin (env alone is clobbered there; see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import smithwaterman_tpu as swt
 
 s1 = "HEAGAWGHEE"

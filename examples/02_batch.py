@@ -3,6 +3,12 @@ kernel (or the scan path off-TPU)."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor JAX_PLATFORMS=cpu even where sitecustomize pre-registers a TPU
+# plugin (env alone is clobbered there; see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import smithwaterman_tpu as swt
 from smithwaterman_tpu.utils.metrics import StatsCollector
 

@@ -18,7 +18,11 @@ process — cross-process variance is ~±15%):
   * base-i8 ~29 GCUPS score-only / ~22 traceback; the kernel runs AT the
     VPU's ~1-vector-op/cycle issue throughput, so only op-count matters.
   * KEPT (ported to ops/pallas_dp.py): fuse_max3 (+11%), LOCAL h0-fold
-    skip, R=8 row groups (fuse+R8 = 33.0 score-only).
+    skip, R=8 row groups (fuse+R8 = 33.0 score-only), xscan (X pointer
+    = c > h straight off the detrended scan, no shift/clamp — verified
+    bit-exact in interpret mode here, measured in production: local tb
+    31.5 -> 33.4, so 41.6 -> 44.4 GCUPS).  The older detrend-tb variant
+    (clamp+shift+cmp) stays as the negative control it was.
   * NO GAIN: f32 S (-2%), nomask, nchain 2/4 (ILP splits spill), tile 64
     (-25%) / 256 (flat), rb16-f32, R8/R16 without fuse.
   * fakecummax = 44.6 GCUPS: the ceiling with the X-scan free — the scan

@@ -43,21 +43,23 @@ device->host value reads; the axon tunnel caches identical executions AND
 returns early from block_until_ready, which contaminated the r1 ablation
 notes.  v5e, 512 pairs of 512x512, tile=128):
 
-  * ~31.5 GCUPS with traceback, ~41.6 score-only after the r2 changes
+  * LOCAL ~33.4 GCUPS with traceback, ~44 score-only after the r2 changes
     (fused max3 shift, LOCAL h0-fold elimination, ptrfast packed pointer
-    cascades, detrended X-scan input on the score-only path, R=8 row
-    groups; r1 shipped 21.8 with traceback).
+    cascades, detrended X-scan input on BOTH paths, xscan X pointers read
+    straight off the scan, R=8 row groups, finals_gate block
+    specialization for non-LOCAL; r1 shipped 21.8 with traceback).
+    Non-LOCAL: ~34 traceback / ~39 score-only in both global and glocal.
   * The kernel is ISSUE-BOUND at ~1 vector op/cycle: per-row wide-op count
     x 64 vreg-issues/op x rows matches wall time within ~5%.  Op-count
     reduction is the only lever; nothing else moved the needle
     (f32-vs-int8 S: -2%; mask removal: 0; dual chains: negative; tile
-    64/256: negative/flat; bigger row blocks: flat).
+    64/256: negative/flat; bigger row blocks: flat; R=16/32 post-xscan:
+    regress/flat).
   * The 9-step lane cummax for the X state is the single largest cost
-    (zero-cost-scan ablation: 44.6 vs 29.4 GCUPS pre-detrend) and is the
-    exactness-mandated floor: Hillis-Steele over 512 lanes is 18 of the
-    ~30 wide ops per row.  Score-only at 41.6 now sits within ~7% of
-    that scan-free ablation ceiling — further gains need a cheaper
-    exact scan, not micro-tuning.
+    and the exactness-mandated floor: Hillis-Steele over 512 lanes is 18
+    of the ~28 wide ops per row.  Score-only now sits AT the zero-cost-
+    scan ablation ceiling measured pre-detrend (44.6 GCUPS) — further
+    gains need a cheaper exact scan, not micro-tuning.
   * int16 x2-score-domain (halves vreg issues) is BLOCKED by the current
     Mosaic toolchain: vector<8x128x2xi16> arith.maxsi fails to legalize
     (scripts/kernel_lab.py 'i16' variants keep the experiment).
@@ -83,8 +85,9 @@ from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
 TB = 8   # minimum tile granularity (VPU sublane count)
 # largest in-register row group (see R selection in _kernel); env-tunable
 # so perf A/B runs need no source edit.  R=8 measured best on BOTH paths
-# at the headline shape (score-only 41.6 vs 40.9 GCUPS, traceback 31.5 vs
-# 29.1 at R=16; v5e, 512 pairs of 512x512, post-detrend)
+# at the headline shape (post-xscan, v5e, 512 pairs of 512x512:
+# score-only 43.4 vs 40.4/38.8 GCUPS at R=16/32, traceback 34.2 vs
+# 29.3/34.5 — scripts/measure_banded_r.py)
 _MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "8"))
 DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
