@@ -281,3 +281,30 @@ def test_float_table_path():
     )
     for b in range(TB):
         assert stats[b, 0] == pytest.approx(float(ref.best[b]))
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+@pytest.mark.parametrize("og,eg", [(0.0, 0.0), (-1.0, 0.0), (-25.0, -0.5)])
+def test_kernel_degenerate_penalties(mode, og, eg):
+    """Traceback-pointer equivalence at penalty edge cases.
+
+    og=eg=0 exercises the xscan lane-0 tie (the only case where the X
+    boundary extend can win the non-LOCAL `>=` compare); eg=0 kills the
+    lane detrend slope; og=-25 makes every open lose to extends early."""
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _random_batch(sm.n_symbols)
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
+    )
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=mode, og=og, eg=eg, interpret=True
+    )
+    ref = batch.fill_scan(S_dense, n, m, mode=mode, og=og, eg=eg)
+    for b in range(TB):
+        nb, mb = int(n[b]), int(m[b])
+        ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
+        theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
+        np.testing.assert_array_equal(ours, theirs, err_msg=f"pair {b} tb")
