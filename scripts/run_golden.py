@@ -5,10 +5,19 @@ Usage: python scripts/run_golden.py [--limit N] [--modes local,glocal,global]
 """
 
 import argparse
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# honor JAX_PLATFORMS=cpu even where sitecustomize pre-registers a TPU
+# plugin (env alone is clobbered there; see tests/conftest.py) — without
+# this, a "CPU" golden sweep grabs the (single-process) TPU tunnel
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from smithwaterman_tpu import Aligner, LOCAL, GLOCAL, GLOBAL, load_fasta
 from smithwaterman_tpu.utils import oracle
