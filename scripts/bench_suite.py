@@ -155,14 +155,17 @@ def main():
     NL, ML = (4096, 2048) if args.quick else (8192, 4096)
     c1 = rng.integers(0, 20, size=(8, NL)).astype(np.int32)
     c2 = rng.integers(0, 20, size=(8, ML)).astype(np.int32)
-    S = batch_ops.scores_tiled(
-        jnp.asarray(sm.table), c1, c2, as_int8=True, tile=8
-    )
+    tab = jnp.asarray(sm.table)
+    S = batch_ops.scores_tiled(tab, c1, c2, as_int8=True, tile=8)
     n = np.full(8, NL, np.int32)
     m = np.full(8, ML, np.int32)
     longseq.align_long(S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)  # warm
+    # timed call gets its own S buffer: re-timing the warm call's exact
+    # (program, args) lets the tunnel serve cached executions
+    S2 = batch_ops.scores_tiled(tab, c1, c2, as_int8=True, tile=8)
+    jax.block_until_ready(S2)
     t0 = time.time()
-    longseq.align_long(S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)
+    longseq.align_long(S2, n, m, mode=LOCAL, og=-10.0, eg=-0.5)
     dt = time.time() - t0
     emit(metric="longseq_align_s", value=round(dt, 3), pairs=8,
          bucket=f"{NL}x{ML}",

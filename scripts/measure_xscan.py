@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
-"""One-process TPU measurement for the xscan change: production fill kernel
-across modes/paths + longseq wall time (post dispatch-fusion) + banded
-breakdown.  Honest timing (chained scan + device->host value read + fresh
-input buffer per call)."""
+"""One-process TPU measurement: production fill kernel across modes/paths
++ longseq and banded end-to-end wall time.
+
+Timing protocol (CLAUDE.md): chained scan + device->host value read +
+fresh input buffer per timed call, min of 3.  For the end-to-end paths
+the timed call gets ITS OWN device S buffer (a warm-then-retime on the
+same buffers lets the axon tunnel serve cached executions); the banded
+path takes numpy inputs and uploads fresh buffers internally each call.
+"""
 
 import sys
 import time
@@ -12,8 +17,6 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-assert jax.default_backend() == "tpu", jax.default_backend()
 
 from smithwaterman_tpu.config import GLOBAL, GLOCAL, LOCAL
 from smithwaterman_tpu.matrices import SubstitutionMatrix
@@ -56,7 +59,7 @@ def bench_fill(B, N, mode, score_only, ncall=32):
     _force(chain(nt, mt))
     dt = None
     for _ in range(3):
-        ntk = jnp.asarray(np.asarray(nt))
+        ntk = jnp.asarray(np.asarray(nt))  # fresh device buffer
         t0 = time.time()
         _force(chain(ntk, mt))
         d = (time.time() - t0) / ncall
@@ -64,58 +67,56 @@ def bench_fill(B, N, mode, score_only, ncall=32):
     return B * N * N / dt / 1e9, dt
 
 
-MODES = {"local": LOCAL, "glocal": GLOCAL, "global": GLOBAL}
-for mname, mode in MODES.items():
-    for so in (False, True):
-        g, dt = bench_fill(512, 512, mode, so)
-        print(f"fill {mname} so={so}: {g:.1f} GCUPS ({dt*1e3:.2f} ms/call)",
-              flush=True)
+def main():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    for mname, mode in (("local", LOCAL), ("glocal", GLOCAL),
+                        ("global", GLOBAL)):
+        for so in (False, True):
+            g, dt = bench_fill(512, 512, mode, so)
+            print(f"fill {mname} so={so}: {g:.1f} GCUPS "
+                  f"({dt*1e3:.2f} ms/call)", flush=True)
 
-# ---- longseq end-to-end after dispatch fusion
-sm = SubstitutionMatrix.blosum62()
-rng = np.random.default_rng(1)
-NL, ML = 8192, 4096
-c1 = rng.integers(0, 20, size=(8, NL)).astype(np.int32)
-c2 = rng.integers(0, 20, size=(8, ML)).astype(np.int32)
-S = batch.scores_tiled(jnp.asarray(sm.table), c1, c2, as_int8=True, tile=8)
-n = np.full(8, NL, np.int32)
-m = np.full(8, ML, np.int32)
-longseq.align_long(S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)  # warm
-t0 = time.time()
-longseq.align_long(S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)
-print(f"longseq 8x{NL}x{ML}: {time.time()-t0:.3f} s", flush=True)
+    # ---- longseq end-to-end (dispatch-fused traceback)
+    sm = SubstitutionMatrix.blosum62()
+    rng = np.random.default_rng(1)
+    NL, ML = 8192, 4096
+    c1 = rng.integers(0, 20, size=(8, NL)).astype(np.int32)
+    c2 = rng.integers(0, 20, size=(8, ML)).astype(np.int32)
+    n = np.full(8, NL, np.int32)
+    m = np.full(8, ML, np.int32)
+    tab = jnp.asarray(sm.table)
+    S_warm = batch.scores_tiled(tab, c1, c2, as_int8=True, tile=8)
+    longseq.align_long(S_warm, n, m, mode=LOCAL, og=-10.0, eg=-0.5)  # warm
+    dt = None
+    for _ in range(2):
+        Sk = batch.scores_tiled(tab, c1, c2, as_int8=True, tile=8)
+        jax.block_until_ready(Sk)  # distinct buffer, same values
+        t0 = time.time()
+        longseq.align_long(Sk, n, m, mode=LOCAL, og=-10.0, eg=-0.5)
+        d = time.time() - t0
+        dt = d if dt is None else min(dt, d)
+    print(f"longseq 8x{NL}x{ML}: {dt:.3f} s", flush=True)
 
-# ---- banded breakdown: scores / fill / walk
-L = 12000
-pairs = []
-for _ in range(8):
-    base = rng.integers(0, 20, size=L + 40).astype(np.int32)
-    cc2 = base[20:L + 20].copy()
-    mut = rng.integers(0, L, size=L // 20)
-    cc2[mut] = rng.integers(0, 20, size=len(mut))
-    pairs.append((base[:L], cc2))
+    # ---- banded end-to-end (numpy inputs -> fresh uploads per call)
+    L = 12000
+    pairs = []
+    for _ in range(8):
+        base = rng.integers(0, 20, size=L + 40).astype(np.int32)
+        cc2 = base[20:L + 20].copy()
+        mut = rng.integers(0, L, size=L // 20)
+        cc2[mut] = rng.integers(0, 20, size=len(mut))
+        pairs.append((base[:L], cc2))
+    banded.align_banded_batch(pairs, sm.table, mode=LOCAL, og=-10.0,
+                              eg=-0.5, band=512)  # warm
+    dt = None
+    for _ in range(2):
+        t0 = time.time()
+        banded.align_banded_batch(pairs, sm.table, mode=LOCAL, og=-10.0,
+                                  eg=-0.5, band=512)
+        d = time.time() - t0
+        dt = d if dt is None else min(dt, d)
+    print(f"banded batch8 warm: {dt:.3f} s", flush=True)
 
-t0 = time.time()
-res = banded.align_banded_batch(
-    pairs, sm.table, mode=LOCAL, og=-10.0, eg=-0.5, band=512
-)
-print(f"banded batch8 cold: {time.time()-t0:.3f} s", flush=True)
-t0 = time.time()
-res = banded.align_banded_batch(
-    pairs, sm.table, mode=LOCAL, og=-10.0, eg=-0.5, band=512
-)
-print(f"banded batch8 warm: {time.time()-t0:.3f} s", flush=True)
 
-# piecewise: time the fill alone and the walk alone via internal calls
-import cProfile
-import pstats
-
-pr = cProfile.Profile()
-pr.enable()
-banded.align_banded_batch(
-    pairs, sm.table, mode=LOCAL, og=-10.0, eg=-0.5, band=512
-)
-pr.disable()
-st = pstats.Stats(pr)
-st.sort_stats("cumulative")
-st.print_stats(18)
+if __name__ == "__main__":
+    main()

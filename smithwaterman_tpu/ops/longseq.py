@@ -161,16 +161,17 @@ def _seg_fill_windows(
 
 
 def _pad_items(items):
-    """Pad the active-pair list to a power of two so the number of compiled
-    programs stays O(log B)."""
+    """Pad a list of equal-length index tuples to a power-of-two count so
+    the number of compiled programs stays O(log B).  Returns one int32
+    device vector per tuple position."""
     K = len(items)
     Kp = 1 << max(0, K - 1).bit_length() if K > 1 else 1
-    gs = np.zeros(Kp, np.int32)
-    ts = np.zeros(Kp, np.int32)
-    j0s = np.zeros(Kp, np.int32)
-    for k, (g, t, j0) in enumerate(items):
-        gs[k], ts[k], j0s[k] = g, t, j0
-    return jnp.asarray(gs), jnp.asarray(ts), jnp.asarray(j0s)
+    width = len(items[0])
+    cols = [np.zeros(Kp, np.int32) for _ in range(width)]
+    for k, item in enumerate(items):
+        for c, v in enumerate(item):
+            cols[c][k] = v
+    return tuple(jnp.asarray(c) for c in cols)
 
 
 def align_long(

@@ -84,10 +84,11 @@ from ..config import CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
 TB = 8   # minimum tile granularity (VPU sublane count)
 # largest in-register row group (see R selection in _kernel); env-tunable
-# so perf A/B runs need no source edit.  R=8 measured best on BOTH paths
-# at the headline shape (post-xscan, v5e, 512 pairs of 512x512:
-# score-only 43.4 vs 40.4/38.8 GCUPS at R=16/32, traceback 34.2 vs
-# 29.3/34.5 — scripts/measure_banded_r.py)
+# so perf A/B runs need no source edit — A/B MUST use this env var in
+# separate processes: mutating _MAX_R in-process does not invalidate
+# jit caches of callers, so the old kernel gets re-timed.  R=8 measured
+# best on both paths pre-xscan (kernel_lab R8/R16 variants, separate
+# jits); post-xscan re-check pending a valid env-var A/B.
 _MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "8"))
 DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
@@ -419,7 +420,7 @@ def _kernel(
             #     Lane 0: c[0] == h[0] -> False == (9og+11eg > 0).
             #   non-LOCAL (>=): shift c right with the exact boundary
             #     extend value x0b+eg as lane-0 fill: x0b+eg >= h[0]=g0
-            #     <=> 9og+10eg >= 0, true only in the degenerate
+            #     <=> 9og+11eg >= 0, true only in the degenerate
             #     og=eg=0 case — same resolution as the old cascade.
             if mode == LOCAL:
                 x_wins = c > h

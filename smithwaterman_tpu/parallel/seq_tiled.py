@@ -888,15 +888,12 @@ def striped_align(
         pend = [(b, *cur[b]) for b in active]
         while pend:
             j0s_py = [max(0, min(j - W, MP - W)) for _, _, j, _ in pend]
-            K = len(pend)
-            Kp = 1 << max(0, K - 1).bit_length() if K > 1 else 1
-            bs = np.zeros(Kp, np.int32)
-            j0s = np.zeros(Kp, np.int32)
-            bs[:K] = [b for b, *_ in pend]
-            j0s[:K] = j0s_py
+            bs, j0s = longseq._pad_items(
+                [(b, j0) for (b, *_), j0 in zip(pend, j0s_py)]
+            )
             wins = np.asarray(_striped_seg_windows(
                 S, nv, mv, ckm, ckx, cky, m0d, x0d, y0d,
-                jnp.int32(sk), jnp.asarray(bs), jnp.asarray(j0s),
+                jnp.int32(sk), bs, j0s,
                 mode=mode, og=og, eg=eg, block_rows=block_rows, mesh=mesh,
                 rows=rows, interpret=interpret, W=W, C=C,
             ))
