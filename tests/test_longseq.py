@@ -73,3 +73,32 @@ def test_batch_aligner_longseq_routing():
     r = ba.align_pairs([(s1, s2)])[0]
     w = Aligner(mode=GLOCAL).align(s1, s2, True)
     assert (r.score, r.aligned1, r.aligned2) == (w.score, w.aligned1, w.aligned2)
+
+
+def test_longseq_walk_left_rerounds():
+    """A global-mode path whose gap run exceeds the column window forces
+    WALK_LEFT re-rounds (band re-fill + fresh window within one segment);
+    paths must still match the plain fill bit-for-bit."""
+    sm = SubstitutionMatrix.blosum62()
+    npp, mpp = 32, 512
+    n = np.full(TB, npp, np.int32)
+    m = np.array([512, 300, 512, 200, 512, 150, 512, 512], np.int32)
+    codes1 = RNG.integers(0, 20, size=(TB, npp)).astype(np.int32)
+    codes2 = RNG.integers(0, 20, size=(TB, mpp)).astype(np.int32)
+    S_tiled = batch.scores_tiled(sm.table, codes1, codes2, as_int8=True,
+                                 tile=TB)
+    idx_lists, stats = longseq.align_long(
+        S_tiled, n, m, mode=GLOBAL, og=OG, eg=EG, ckpt_rows=8, window=128,
+        interpret=True,
+    )
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=GLOBAL, og=OG, eg=EG)
+    for b in range(TB):
+        want = traceback.walk(
+            np.asarray(ref.tb[b]), int(n[b]), int(m[b]),
+            int(ref.final_state[b]), False,
+        )
+        assert idx_lists[b][0] == want[0], f"pair {b} idx1"
+        assert idx_lists[b][1] == want[1], f"pair {b} idx2"

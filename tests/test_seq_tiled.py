@@ -139,3 +139,35 @@ def test_striped_matches_scan(mode, block_rows):
         np.testing.assert_array_equal(got, np.asarray(ref.best))
     else:
         np.testing.assert_array_equal(got, np.asarray(ref.final))
+
+
+def test_striped_walk_left_rerounds():
+    """Striped traceback with a gap run longer than the column window:
+    WALK_LEFT re-rounds re-fill the same segment through the fused
+    dispatch path and must preserve the exact walk."""
+    from smithwaterman_tpu.ops import traceback
+    from smithwaterman_tpu.ops.batch import fill_scan
+    from smithwaterman_tpu.parallel.seq_tiled import striped_align
+
+    mesh = make_mesh(8)
+    sm = SubstitutionMatrix.blosum62()
+    npp, mpp = 32, 512
+    codes1 = RNG.integers(0, 20, size=(B, npp)).astype(np.int32)
+    codes2 = RNG.integers(0, 20, size=(B, mpp)).astype(np.int32)
+    n = np.full(B, npp, np.int32)
+    m = np.array([512, 300, 512], np.int32)
+    S = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(B)]
+    ).astype(np.float32)
+    idx_lists, stats = striped_align(
+        S, n, m, mode=GLOBAL, og=OG, eg=EG, mesh=mesh,
+        block_rows=8, ckpt_rows=8, window=128,
+    )
+    ref = fill_scan(S, n, m, mode=GLOBAL, og=OG, eg=EG)
+    for b in range(B):
+        want = traceback.walk(
+            np.asarray(ref.tb[b]), int(n[b]), int(m[b]),
+            int(ref.final_state[b]), False,
+        )
+        assert idx_lists[b][0] == want[0], f"pair {b} idx1"
+        assert idx_lists[b][1] == want[1], f"pair {b} idx2"
