@@ -136,6 +136,42 @@ def main():
         )
         t0 = time.time()
 
+    # 5. striped (sequence-tiled) alignment with Pallas per-shard rows:
+    # Mosaic legality + string exactness of the mesh path on hardware
+    # (the pytest mesh tests run on virtual CPU devices only)
+    from smithwaterman_tpu.parallel import make_mesh
+    from smithwaterman_tpu.parallel.seq_tiled import striped_align
+
+    t0 = time.time()
+    sm = SubstitutionMatrix.blosum62()
+    mesh = make_mesh(1)
+    t = TAGS[0]
+    s1, s2 = pairs[0]
+    codes1 = sm.seq_to_index(s1.seq)
+    codes2 = sm.seq_to_index(s2.seq)
+    npp = -(-len(codes1) // 8) * 8
+    mpp = -(-len(codes2) // 128) * 128
+    Sd = np.full((1, npp, mpp), -1e4, np.float32)
+    Sd[0, : len(codes1), : len(codes2)] = sm.dense_scores(codes1, codes2)
+    for rows in ("jax", "pallas"):
+        idx_lists, stats = striped_align(
+            Sd, np.array([len(codes1)], np.int32),
+            np.array([len(codes2)], np.int32),
+            mode=LOCAL, og=-10.0, eg=-0.5, mesh=mesh, rows=rows,
+        )
+        g = goldens[t]["local"]
+        got = reconstruct_alignment(
+            s1.seq, s2.seq, idx_lists[0][0], idx_lists[0][1],
+            float(stats[0, 0]), True, LOCAL,
+        )
+        a1, a2 = oracle.trim_terminal(got.aligned1, got.aligned2)
+        report(
+            f"striped-local-rows_{rows}-seq{t}",
+            float(stats[0, 0]) == g.score and (a1, a2) == (g.seq1, g.seq2),
+            f"({time.time() - t0:.1f}s)",
+        )
+        t0 = time.time()
+
     print("TPU CHECKS " + ("PASS" if not FAIL else "FAIL"), flush=True)
     sys.exit(FAIL)
 
