@@ -308,3 +308,36 @@ def test_kernel_degenerate_penalties(mode, og, eg):
         ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
         theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
         np.testing.assert_array_equal(ours, theirs, err_msg=f"pair {b} tb")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kernel_fuzz_random_shapes_penalties(seed):
+    """Randomized kernel-vs-scan equivalence: random lengths (incl. 1),
+    random quarter-integer penalties, all three modes, full traceback."""
+    rng = np.random.default_rng(1000 + seed)
+    sm = SubstitutionMatrix.blosum62()
+    n = rng.integers(1, NP_PAD + 1, size=TB).astype(np.int32)
+    m = rng.integers(1, MP_PAD + 1, size=TB).astype(np.int32)
+    n[0], m[0] = 1, 1
+    codes1 = rng.integers(0, sm.n_symbols, size=(TB, NP_PAD)).astype(np.int32)
+    codes2 = rng.integers(0, sm.n_symbols, size=(TB, MP_PAD)).astype(np.int32)
+    og = -float(rng.integers(0, 65)) / 4.0
+    eg = -float(rng.integers(0, 17)) / 4.0
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
+    )
+    for mode in (LOCAL, GLOCAL, GLOBAL):
+        tb_tiled, stats = batch.fill_pallas(
+            S_tiled, n, m, mode=mode, og=og, eg=eg, interpret=True
+        )
+        ref = batch.fill_scan(S_dense, n, m, mode=mode, og=og, eg=eg)
+        for b in range(TB):
+            nb, mb = int(n[b]), int(m[b])
+            ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
+            theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
+            np.testing.assert_array_equal(
+                ours, theirs, err_msg=f"mode {mode} pair {b} og={og} eg={eg}"
+            )
