@@ -35,6 +35,18 @@ inline int64_t boundary_prev(int64_t i, int64_t j, int64_t s, bool local) {
   return (local && s == GAPINY) ? STOP : GAPINY;
 }
 
+// Defined behavior where the reference has none (ops/traceback.py
+// normalize_boundary_state): with og == eg == 0 the boundary sentinel is 0
+// and tie rules can route the walk into X at column 0 / Y at row 0, where
+// the reference crashes (sequence_alignment.rs:368-370).  Continue along
+// the boundary gap chain instead — identical score at the only reachable
+// penalty point.
+inline int64_t normalize_boundary_state(int64_t i, int64_t j, int64_t s) {
+  if (j == 0 && i > 0 && s != GAPINY) return GAPINY;
+  if (i == 0 && j > 0 && s != GAPINX) return GAPINX;
+  return s;
+}
+
 template <bool kTiled>
 int64_t walk(const uint8_t* tb, int64_t row_stride, int64_t si, int64_t sj,
              int64_t state, int64_t local_flag, int64_t* out1, int64_t* out2,
@@ -43,6 +55,7 @@ int64_t walk(const uint8_t* tb, int64_t row_stride, int64_t si, int64_t sj,
   int64_t i = si, j = sj, s = state;
   int64_t count = 0;
   for (;;) {
+    s = normalize_boundary_state(i, j, s);
     int64_t prev;
     if (kTiled) {
       if (i >= 1 && j >= 1) {
@@ -121,6 +134,7 @@ int64_t sw_walk_band(const uint8_t* tb, int64_t width, int64_t i_top,
     return count;
   };
   for (;;) {
+    s = normalize_boundary_state(i, j, s);
     int64_t prev;
     if (i == 0 && j == 0) {
       prev = (local && s == MATCH) ? STOP : MATCH;
@@ -176,6 +190,7 @@ int64_t sw_walk_banded(const uint8_t* tb, int64_t W, const int32_t* off,
   int64_t count = 0;
   *edge_out = 0;
   for (;;) {
+    s = normalize_boundary_state(i, j, s);
     int64_t prev;
     if (i >= 1 && j >= 1) {
       int64_t w = j - 1 - static_cast<int64_t>(off[i]);

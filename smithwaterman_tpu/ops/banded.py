@@ -357,6 +357,7 @@ def walk_banded(
     cell where out-of-band alternatives geometrically exist, i.e. the band
     may have constrained the result (banded alignment is a heuristic:
     results equal the full DP only when the optimal path fits the band)."""
+    from . import traceback as traceback_ops
     from .traceback import native_walk_banded
 
     native = native_walk_banded(tb, off, si, sj, state, local, W, m)
@@ -370,6 +371,7 @@ def walk_banded(
     edge_touched = False
     i, j, s = int(si), int(sj), int(state)
     while True:
+        s = traceback_ops.normalize_boundary_state(i, j, s)
         if i >= 1 and j >= 1:
             w = j - 1 - int(off[i])
             if w < 0 or w >= W:
@@ -436,6 +438,9 @@ def _walk_banded_device(tb, off, si, sj, s0, m, act0, *, W: int, local: bool,
 
     def body(c):
         it, i, j, s, cnt, flags, active, idx1, idx2 = c
+        # boundary-state normalization (traceback.normalize_boundary_state)
+        s = jnp.where((j == 0) & (i > 0), CELL_GAPINY, s)
+        s = jnp.where((i == 0) & (j > 0), CELL_GAPINX, s)
         off_i = off[bidx, jnp.clip(i, 0, NP)]
         w = j - 1 - off_i
         in_mat = (i >= 1) & (j >= 1)

@@ -74,7 +74,7 @@ def walk_band(
     (i_top + r + 1, j_off + c + 1).  Returns
     (idx1_chunk, idx2_chunk, i, j, s, status) with chunks in walk
     (reverse-path) order and global 0-based indices."""
-    from .traceback import native_walk_band
+    from .traceback import native_walk_band, normalize_boundary_state
 
     native = native_walk_band(tb_band, i_top, j_off, i, j, s, local)
     if native is not None:
@@ -84,6 +84,7 @@ def walk_band(
     r2: List[int] = []
     width = tb_band.shape[1]
     while True:
+        s = normalize_boundary_state(i, j, s)
         # predecessor of the current cell (closed form on true boundaries,
         # cf. traceback._boundary_prev)
         if i == 0 and j == 0:

@@ -185,6 +185,7 @@ def walk(
     r2: List[int] = []
     i, j, s = int(si), int(sj), int(state)
     while True:
+        s = normalize_boundary_state(i, j, s)
         prev = (int(tb[i, j]) >> (2 * s)) & 3
         if local and prev == CELL_STOP:
             break
@@ -229,6 +230,25 @@ def _boundary_prev(i: int, j: int, s: int, local: bool) -> int:
     return CELL_STOP if (local and s == CELL_GAPINY) else CELL_GAPINY
 
 
+def normalize_boundary_state(i: int, j: int, s: int) -> int:
+    """Defined behavior where the reference has none: with og == eg == 0
+    the boundary sentinel (10*og + 10*eg, sequence_alignment.rs:102-116)
+    is 0, so the `>=` extend tie rules can route the walk into state X at
+    column 0 (or Y at row 0) — the reference crashes there
+    (sequence_alignment.rs:368-370 panics for Y at row 0; X at column 0
+    underflows its usize column).  We continue along the only coherent
+    completion — the boundary gap chain — which at the only reachable
+    penalty point (og = eg = 0) scores identically.  MATCH on a boundary
+    is equally incoherent (there is nothing left to pair against), so any
+    state on a boundary normalizes to that boundary's gap chain.  Every
+    walker (Python and csrc/traceback.cpp) applies this at loop top."""
+    if j == 0 and i > 0 and s != CELL_GAPINY:
+        return CELL_GAPINY
+    if i == 0 and j > 0 and s != CELL_GAPINX:
+        return CELL_GAPINX
+    return s
+
+
 def walk_tiled(
     tb: np.ndarray, si: int, sj: int, state: int, local: bool
 ) -> Tuple[List[int], List[int]]:
@@ -257,6 +277,7 @@ def walk_tiled(
     r2: List[int] = []
     i, j, s = int(si), int(sj), int(state)
     while True:
+        s = normalize_boundary_state(i, j, s)
         if i >= 1 and j >= 1:
             prev = (int(tb[i - 1, j - 1]) >> (2 * s)) & 3
         else:

@@ -102,3 +102,28 @@ def test_longseq_walk_left_rerounds():
         )
         assert idx_lists[b][0] == want[0], f"pair {b} idx1"
         assert idx_lists[b][1] == want[1], f"pair {b} idx2"
+
+
+def test_longseq_degenerate_penalties():
+    """og=eg=0 through the checkpoint + seeded band re-fill: every state
+    ties everywhere, so one wrong compare direction in the re-fill
+    diverges from the plain walk immediately."""
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _batch()
+    S_tiled = batch.scores_tiled(sm.table, codes1, codes2, as_int8=True,
+                                 tile=TB)
+    idx_lists, stats = longseq.align_long(
+        S_tiled, n, m, mode=GLOBAL, og=0.0, eg=0.0, ckpt_rows=CKPT,
+        interpret=True,
+    )
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=GLOBAL, og=0.0, eg=0.0)
+    for b in range(TB):
+        want = traceback.walk(
+            np.asarray(ref.tb[b]), int(n[b]), int(m[b]),
+            int(ref.final_state[b]), False,
+        )
+        assert idx_lists[b][0] == want[0], f"pair {b} idx1"
+        assert idx_lists[b][1] == want[1], f"pair {b} idx2"
