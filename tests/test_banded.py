@@ -172,3 +172,25 @@ def test_batched_banded_matches_per_pair(mode):
         assert got[k][1] == same_w[1], f"pair {k} idx2"
         # and the per-pair path agrees with the standalone API on score
         assert got[k][2] == want[2] or got[k][3] or want[3], f"pair {k}"
+
+
+def test_full_width_band_degenerate_penalties():
+    """og=eg=0 through the banded fill + on-device walker: the boundary-
+    state normalization must keep the walk in-matrix (was: corrupt
+    negative indices / band-exceeded flags)."""
+    codes1 = RNG.integers(0, 24, size=40).astype(np.int32)
+    codes2 = RNG.integers(0, 24, size=90).astype(np.int32)
+    idx1, idx2, score, edge = banded.align_banded(
+        codes1, codes2, SM.table, mode=GLOBAL, og=0.0, eg=0.0, band=256,
+        interpret=True,
+    )
+    S = SM.dense_scores(codes1, codes2)[None].astype(np.float32)
+    n = np.array([len(codes1)], np.int32)
+    m = np.array([len(codes2)], np.int32)
+    ref = batch.fill_scan(S, n, m, mode=GLOBAL, og=0.0, eg=0.0)
+    want = traceback.walk(
+        np.asarray(ref.tb[0]), len(codes1), len(codes2),
+        int(ref.final_state[0]), False,
+    )
+    assert score == pytest.approx(float(np.max(np.asarray(ref.final[0]))))
+    assert (idx1, idx2) == want
