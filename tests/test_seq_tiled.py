@@ -171,3 +171,33 @@ def test_striped_walk_left_rerounds():
         )
         assert idx_lists[b][0] == want[0], f"pair {b} idx1"
         assert idx_lists[b][1] == want[1], f"pair {b} idx2"
+
+
+def test_striped_degenerate_penalties():
+    """og=eg=0 through the striped fill + banded striped re-fill: the
+    boundary-state walk normalization must yield the plain fill's path."""
+    from smithwaterman_tpu.ops import traceback
+    from smithwaterman_tpu.ops.batch import fill_scan
+    from smithwaterman_tpu.parallel.seq_tiled import striped_align
+
+    mesh = make_mesh(8)
+    sm = SubstitutionMatrix.blosum62()
+    codes1 = RNG.integers(0, 24, size=(B, NP)).astype(np.int32)
+    codes2 = RNG.integers(0, 24, size=(B, MP)).astype(np.int32)
+    n = np.array([256, 100, 31], dtype=np.int32)
+    m = np.array([256, 41, 250], dtype=np.int32)
+    S = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(B)]
+    ).astype(np.float32)
+    idx_lists, stats = striped_align(
+        S, n, m, mode=GLOBAL, og=0.0, eg=0.0, mesh=mesh,
+        block_rows=16, ckpt_rows=64,
+    )
+    ref = fill_scan(S, n, m, mode=GLOBAL, og=0.0, eg=0.0)
+    for b in range(B):
+        want = traceback.walk(
+            np.asarray(ref.tb[b]), int(n[b]), int(m[b]),
+            int(ref.final_state[b]), False,
+        )
+        assert idx_lists[b][0] == want[0], f"pair {b} idx1"
+        assert idx_lists[b][1] == want[1], f"pair {b} idx2"
