@@ -10,12 +10,12 @@ until curl -s -m 5 http://127.0.0.1:8093/remote_compile -o /dev/null; do
 done
 
 # 1. fill + longseq + banded numbers with the fixed honest timing
-timeout 3600 python -u scripts/measure_xscan.py 2>&1 | tee /tmp/r2_measure.log
+timeout 3600 python -u scripts/measure_xscan.py 2>&1 | tee MEASURE_r02.log
 
 # 2. row-group A/B, one process per R (in-process A/B is invalid)
 for R in 8 16; do
   SWTPU_MAX_ROWGROUP=$R timeout 1800 python -u scripts/measure_banded_r.py \
-    2>&1 | tee -a /tmp/r2_rab.log
+    2>&1 | tee -a RAB_r02.log
 done
 
 # 3. the reference's own checker, accelerated slots on the Pallas kernel
@@ -31,5 +31,5 @@ timeout 7200 python -u scripts/bench_suite.py --out BENCH_SUITE_r02.json \
 timeout 3600 python -u scripts/tpu_checks.py 2>&1 | tee TPU_CHECKS_r02.txt
 
 # 6. headline sanity
-timeout 1200 python -u bench.py 2>&1 | tee /tmp/r2_bench.log
+timeout 1200 python -u bench.py 2>&1 | tee BENCH_HEADLINE_r02.log
 echo DONE-ALL
