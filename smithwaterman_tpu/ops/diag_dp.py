@@ -19,12 +19,16 @@ skewed-layout kernel computes every state with plain elementwise ops:
     (resp. ``Y + og``) never beat the true extend term ``X + eg``; the
     ``max(., 0)`` inside T0 commutes with the outer maxes (LOCAL clamps
     every state at 0, rs:256-260).
-  * Cross-strip dependencies ride two VMEM edge rings indexed by row:
+  * Cross-strip dependencies ride two VMEM edge rings indexed by step:
     strip ``s`` stores its lane-127 ``W`` and ``X`` per row; strip ``s+1``
     reads them back as its lane-0 shift fills.  A single buffer per ring
-    suffices: within a strip, the read cursor (slot d+127) leads the
-    write cursor (slot d+1) by 126 slots, so each strip reads the
+    suffices: within a strip, the read cursor (slot d+126/d+127) leads
+    the write cursor (slot d) by >125 slots, so each strip reads the
     previous strip's value before overwriting the slot with its own.
+    The rings are laid out ``(slot_group, pairs, r_group)`` so every
+    dynamic index lands on the untiled leading axis (Mosaic cannot prove
+    lane/sublane alignment for dynamic offsets like d+127); the odd
+    +126/+127 offsets become static lane slices of two adjacent groups.
   * Boundary/ramp handling collapses to zero-fills + poisoned S: LOCAL
     boundary rows/cols clamp to W = X = 0 / Y <= 0, and every off-matrix
     or padded cell carries the poison substitution score (-128), which
@@ -99,24 +103,28 @@ def _diag_kernel(
 ):
     """One (grid g, strip sid, diag-block dbk) step; see module docstring.
 
-    Edge-ring slot convention: slot ``r + 128`` holds strip ``sid``'s
-    lane-127 values of row ``r`` (W in edge_w, X in edge_x); lane 127 at
-    step ``t`` carries row ``r = t - 127``, so step ``t`` stores slot
-    ``t + 1`` — always positive, and the "rows" r < 0 written during the
-    ramp (slots 1..127) hold exactly 0, the LOCAL boundary value (every
-    top-ramp state is pinned at 0 by the poison-S + clamp argument).
-    Reading strip ``sid``'s lane-0 fills at step ``d``:
-      fw = W(d-1, prev col)       -> slot d + 127
-      fx from (W, X)(d, prev col) -> slot d + 128
-    The read cursor (d + 127) leads this strip's write cursor (t + 1) by
-    126 slots, so every slot is read (previous strip's value) before this
-    strip overwrites it.  Slot 0 and slots > ND are never written; they
-    stay 0 and are only ever read by ramp rows.
+    Edge-ring slot convention: flat slot ``t`` holds strip ``sid``'s
+    lane-127 values at step ``t`` — row ``r = t - 127`` (W in edge_w, X in
+    edge_x).  Ramp steps t < 127 store the "rows" r < 0, which hold
+    exactly 0, the LOCAL boundary value (every top-ramp state is pinned
+    at 0 by the poison-S + clamp argument).  Reading strip ``sid``'s
+    lane-0 fills at step ``d``:
+      fw = W(d-1, prev col)       -> flat slot d + 126
+      fx from (W, X)(d, prev col) -> flat slot d + 127
+    The read cursor leads this strip's write cursor (slot d) by >125
+    slots, so every slot is read (previous strip's value) before this
+    strip overwrites it.  Slots >= ND are never written; they stay 0 and
+    only feed bottom-ramp cells whose values are dead (module docstring).
+
+    Flat slots are stored as ``ring[slot // r_group, :, slot % r_group]``:
+    a group's write covers exactly one leading index; the +126/+127 read
+    offsets are recombined from two adjacent groups with static slices.
     """
     sid = pl.program_id(1)
     dbk = pl.program_id(2)
     ogv = jnp.float32(og)
     egv = jnp.float32(eg)
+    n_groups = nd // r_group + 127 // r_group + 1  # ring leading dim
 
     @pl.when((sid == 0) & (dbk == 0))
     def _init_best():
@@ -133,8 +141,12 @@ def _diag_kernel(
 
     @pl.when((sid == 0) & (dbk == 0))
     def _init_edges():
-        edge_w[:, :] = jnp.zeros((tbp, nd + LW), jnp.float32)
-        edge_x[:, :] = jnp.zeros((tbp, nd + LW), jnp.float32)
+        def _zero(i, _):
+            z = jnp.zeros((tbp, r_group), jnp.float32)
+            edge_w[i, :, :] = z
+            edge_x[i, :, :] = z
+            return 0
+        jax.lax.fori_loop(0, n_groups, _zero, 0)
 
     def one_step(qb, qg, W1, W2, X1, Y1, rbv, fws, fxs, wacc, xacc):
         # qb: step within this diag block (s_ref rows); qg: within the group
@@ -152,17 +164,35 @@ def _diag_kernel(
 
     base = dbk * db
 
+    # static split of the +126 / +127 read offsets into (group, lane)
+    a1, rem1 = divmod(LW - 2, r_group)
+    rem2 = rem1 + 1
+    assert (LW - 1) // r_group == a1, r_group  # both offsets share a group pair
+
+    def _win(ga, gb, rem):
+        # flat slots [t0 + a1*r_group + rem, +r_group) as one (tbp, r) slab
+        if rem == 0:
+            return ga
+        if rem == r_group:
+            return gb
+        return jnp.concatenate([ga[:, rem:], gb[:, :rem]], axis=1)
+
     def group_step(g, _):
+        kg = dbk * (db // r_group) + g  # flat slot group t0 // r_group
         t0 = base + g * r_group
         W1, W2 = cw1[:, :], cw2[:, :]
         X1, Y1 = cx[:, :], cy[:, :]
         rbv = runbest[:, :]
         # lane-0 fills for the group's steps d = t0..t0+R-1 (narrow slabs):
-        #   fw[q] = W(d-1, 127 of prev strip)             -> slot d + 127
-        #   fx[q] = max(max(We+og, 0), Xe+eg) of row d    -> slot d + 128
-        fws = edge_w[:, pl.ds(t0 + LW - 1, r_group)]
-        we = edge_w[:, pl.ds(t0 + LW, r_group)]
-        xe = edge_x[:, pl.ds(t0 + LW, r_group)]
+        #   fw[q] = W(d-1, 127 of prev strip)             -> flat slot d + 126
+        #   fx[q] = max(max(We+og, 0), Xe+eg) of row d    -> flat slot d + 127
+        gaw = edge_w[kg + a1, :, :]
+        gbw = edge_w[kg + a1 + 1, :, :]
+        gax = edge_x[kg + a1, :, :]
+        gbx = edge_x[kg + a1 + 1, :, :]
+        fws = _win(gaw, gbw, rem1)
+        we = _win(gaw, gbw, rem2)
+        xe = _win(gax, gbx, rem2)
         fxs = jnp.maximum(jnp.maximum(we + ogv, 0.0), xe + egv)
         wacc, xacc = [], []
         for q in range(r_group):
@@ -174,9 +204,9 @@ def _diag_kernel(
         cx[:, :] = X1
         cy[:, :] = Y1
         runbest[:, :] = rbv
-        # this strip's lane-127 (W, X) of rows r = t-127 -> slot r+128 = t+1
-        edge_w[:, pl.ds(t0 + 1, r_group)] = jnp.concatenate(wacc, axis=1)
-        edge_x[:, pl.ds(t0 + 1, r_group)] = jnp.concatenate(xacc, axis=1)
+        # this strip's lane-127 (W, X) at steps t0..t0+R-1 -> flat slot t
+        edge_w[kg, :, :] = jnp.concatenate(wacc, axis=1)
+        edge_x[kg, :, :] = jnp.concatenate(xacc, axis=1)
         return 0
 
     jax.lax.fori_loop(0, db // r_group, group_step, 0, unroll=False)
@@ -234,14 +264,15 @@ def fill_diag_scores(
     stats_shape = jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda g, s, d: (g, 0, 0),
                               memory_space=pltpu.VMEM)
+    n_groups = ND // r_group + 127 // r_group + 1
     scratch = [
-        pltpu.VMEM((tbp, LW), jnp.float32),        # cw1
-        pltpu.VMEM((tbp, LW), jnp.float32),        # cw2
-        pltpu.VMEM((tbp, LW), jnp.float32),        # cx
-        pltpu.VMEM((tbp, LW), jnp.float32),        # cy
-        pltpu.VMEM((tbp, LW), jnp.float32),        # runbest
-        pltpu.VMEM((tbp, ND + LW), jnp.float32),   # edge_w
-        pltpu.VMEM((tbp, ND + LW), jnp.float32),   # edge_x
+        pltpu.VMEM((tbp, LW), jnp.float32),            # cw1
+        pltpu.VMEM((tbp, LW), jnp.float32),            # cw2
+        pltpu.VMEM((tbp, LW), jnp.float32),            # cx
+        pltpu.VMEM((tbp, LW), jnp.float32),            # cy
+        pltpu.VMEM((tbp, LW), jnp.float32),            # runbest
+        pltpu.VMEM((n_groups, tbp, r_group), jnp.float32),  # edge_w
+        pltpu.VMEM((n_groups, tbp, r_group), jnp.float32),  # edge_x
     ]
     cp = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary", "arbitrary"),
