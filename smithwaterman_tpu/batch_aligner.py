@@ -16,6 +16,7 @@ Backends:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -60,6 +61,7 @@ class BatchAligner:
         device_axis=None,
         tile_pairs: Optional[int] = None,
         longseq_cells: int = 8192 * 4096,
+        diag_scores: Optional[bool] = None,
     ):
         if config is None:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
@@ -72,6 +74,12 @@ class BatchAligner:
         # banded-traceback path (ops/longseq.py) instead of streaming the
         # full pointer matrix to host
         self.longseq_cells = longseq_cells
+        # wavefront (anti-diagonal) kernel for LOCAL score-only buckets
+        # (ops/diag_dp.py); None -> SWTPU_DIAG_SCORES env (default off until
+        # the TPU decision measurement lands)
+        if diag_scores is None:
+            diag_scores = os.environ.get("SWTPU_DIAG_SCORES", "0") == "1"
+        self.diag_scores = diag_scores
         # opt-in observability: assign a utils.metrics.StatsCollector
         self.stats = None
         self._table_is_int = batch_ops.is_integer_table(
@@ -253,6 +261,26 @@ class BatchAligner:
             codes1, codes2, tile,
             n=n if masked_s else None, m=m if masked_s else None,
         )
+        if self.diag_scores and score_only:
+            from .ops import diag_dp
+
+            if diag_dp.eligible(
+                mode=self.mode, og=self.config.og, eg=self.config.eg,
+                np_pad=codes1.shape[1], mp_pad=codes2.shape[1], tbp=tile,
+                score_only=score_only, masked_s=masked_s,
+            ):
+                interp = self.backend == "pallas_interpret"
+                if self.device_axis is not None:
+                    stats = self.device_axis.fill_diag(
+                        S, og=self.config.og, eg=self.config.eg,
+                        interpret=interp,
+                    )
+                else:
+                    stats = batch_ops.fill_diag(
+                        S, og=self.config.og, eg=self.config.eg,
+                        interpret=interp,
+                    )
+                return None, stats
         run = batch_ops.fill_pallas
         if self.device_axis is not None:
             run = self.device_axis.fill_pallas

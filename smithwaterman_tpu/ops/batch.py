@@ -94,6 +94,29 @@ def dense_to_tiled(S_dense, tile: int = DEFAULT_TILE_PAIRS):
     return S_dense.reshape(G, tile, NP, MP).transpose(0, 2, 1, 3)
 
 
+def fill_diag(
+    S_tiled,
+    *,
+    og: float,
+    eg: float,
+    interpret: bool = False,
+) -> np.ndarray:
+    """LOCAL score-only fill via the wavefront kernel (ops/diag_dp.py).
+
+    Same ``stats (B, 8)`` host contract as ``fill_pallas(score_only=True)``
+    except only ``stats[:, 0]`` (best score) is populated — no argmax
+    coordinates, which score-only consumers never read.  Callers must
+    check ``diag_dp.eligible`` first.
+    """
+    from . import diag_dp
+
+    stats = diag_dp.fill_diag_scores(
+        S_tiled, og=float(og), eg=float(eg), interpret=interpret
+    )
+    G, tbp, W = stats.shape
+    return np.asarray(stats).reshape(G * tbp, W)
+
+
 def fill_pallas(
     S_tiled,
     n: np.ndarray,

@@ -65,6 +65,27 @@ LW = 128   # strip width = VPU lane count
 NEG = -1.0e30
 
 
+def eligible(*, mode: int, og: float, eg: float, np_pad: int, mp_pad: int,
+             tbp: int, score_only: bool, masked_s: bool) -> bool:
+    """True when the wavefront score path may replace the row kernel.
+
+    LOCAL score-only with poisoned-S padding (masked_s) on 128-aligned
+    buckets, with internal penalties satisfying the open-from-W fold
+    precondition og <= eg <= 0.  Everything else stays on the row kernel.
+    """
+    from ..config import LOCAL
+
+    return (
+        score_only
+        and masked_s
+        and mode == LOCAL
+        and og <= eg <= 0.0
+        and np_pad % LW == 0
+        and mp_pad % LW == 0
+        and tbp % TB == 0
+    )
+
+
 def _shift_right(v, fill):
     pad = jnp.broadcast_to(fill, v.shape[:-1] + (1,)).astype(v.dtype)
     return jnp.concatenate([pad, v[:, :-1]], axis=1)

@@ -62,6 +62,22 @@ def _sharded_fill_fn(mesh, mode, og, eg, score_only, interpret, masked_s=False):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_diag_fn(mesh, og, eg, interpret):
+    from ..ops import diag_dp
+
+    def local_fill(S_l):
+        return diag_dp.fill_diag_scores(S_l, og=og, eg=eg, interpret=interpret)
+
+    spec = P("data")
+    return jax.jit(
+        jax.shard_map(
+            local_fill, mesh=mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+    )
+
+
 class DataParallel:
     """Shards tiled fill calls over a ``('data',)`` mesh."""
 
@@ -101,3 +117,20 @@ class DataParallel:
         stats_np = np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)
         tb_np = np.asarray(tb) if not score_only else None
         return tb_np, stats_np
+
+    def fill_diag(
+        self, S_tiled, *, og: float, eg: float, interpret: bool = False
+    ) -> np.ndarray:
+        """Wavefront LOCAL score-only fill sharded over the mesh.
+
+        Same stats contract as ``ops.batch.fill_diag``; callers must check
+        ``diag_dp.eligible`` first.
+        """
+        G, _, tile, _ = S_tiled.shape
+        if G % self.n_devices:
+            raise ValueError(
+                f"tile count {G} not divisible by mesh size {self.n_devices}"
+            )
+        fn = _sharded_diag_fn(self.mesh, float(og), float(eg), bool(interpret))
+        stats = fn(S_tiled)
+        return np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)

@@ -81,6 +81,49 @@ def test_diag_rejects_open_cheaper_than_extend():
         diag_dp.fill_diag_scores(S, og=0.0, eg=-1.0, interpret=True)
 
 
+def _rand_seqs(count, lo, hi, seed):
+    from smithwaterman_tpu.io.fasta import SeqData
+
+    rng = np.random.default_rng(seed)
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    out = []
+    for i in range(count):
+        ln = int(rng.integers(lo, hi + 1))
+        out.append(SeqData(f"s{i}", "", "".join(rng.choice(list(letters), ln))))
+    return out
+
+
+def test_batch_aligner_diag_route():
+    """score_pairs with the wavefront path on: scores match the scan backend
+    across mixed buckets (64-wide ineligible -> row-kernel fallback)."""
+    from smithwaterman_tpu.batch_aligner import BatchAligner
+
+    a = _rand_seqs(6, 20, 60, 1)    # 64-bucket: diag ineligible
+    b = _rand_seqs(6, 100, 250, 2)  # 128/256 buckets: diag eligible
+    pairs = list(zip(a + b, b + a))
+    ba_diag = BatchAligner(backend="pallas_interpret", diag_scores=True)
+    ba_scan = BatchAligner(backend="scan")
+    got = ba_diag.score_pairs(pairs)
+    want = ba_scan.score_pairs(pairs)
+    np.testing.assert_array_equal(got, want)
+    # with traceback requested, diag must never engage (full results equal)
+    r1 = ba_diag.align_pairs(pairs[:4])
+    r2 = ba_scan.align_pairs(pairs[:4])
+    for x, y in zip(r1, r2):
+        assert (x.aligned1, x.aligned2, x.score) == (y.aligned1, y.aligned2, y.score)
+
+
+def test_data_parallel_diag():
+    """Sharded wavefront fill over the virtual mesh == single-device."""
+    from smithwaterman_tpu.parallel.data_parallel import DataParallel
+
+    dp = DataParallel(n_devices=4)
+    S, n, m = _scores(B=32, NP=128, MP=128, tile=8)
+    want = batch.fill_diag(S, og=-10.0, eg=-0.5, interpret=True)
+    got = dp.fill_diag(S, og=-10.0, eg=-0.5, interpret=True)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+
+
 def test_skew_layout():
     """skew_scores places cell (r, c) at [strip c//128, r + c%128, c%128]."""
     G, NP, tile, MP = 1, 128, 8, 256
