@@ -79,6 +79,37 @@ def main():
         d = (time.time() - t0) / ncall
         dt = d if dt is None else min(dt, d)
 
+    # hardware-health context on stderr (stdout stays one JSON line): the
+    # axon worker intermittently degrades to single-digit-GB/s HBM streaming
+    # (2026-08-18 window, MEASUREMENTS_r02.md) which craters every
+    # HBM-bound number ~30x; record effective bandwidth so a degraded-window
+    # result is distinguishable from a kernel regression.
+    if on_tpu:
+        try:
+            x = jnp.ones((16 * 1024 * 1024,), jnp.float32)
+
+            @jax.jit
+            def _ew(x0):
+                def body(c, _):
+                    return jnp.maximum(c * 1.0000001 + 0.5, c), c[0]
+                _, out = jax.lax.scan(body, x0, None, length=64)
+                return out
+
+            float(np.asarray(_ew(x))[-1])
+            t0 = time.time()
+            float(np.asarray(_ew(x + 1.0))[-1])
+            gbs = 64 / 1024 * 2 / ((time.time() - t0) / 64)
+            print(f"# hbm_stream_gbs={gbs:.0f} (healthy v5e ~800)",
+                  file=sys.stderr)
+            if gbs < 300:
+                print(
+                    "# WARNING: TPU worker HBM bandwidth degraded; the GCUPS"
+                    " figure below understates the kernel by the same factor",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # never let the probe break the benchmark
+            print(f"# hbm probe failed: {e}", file=sys.stderr)
+
     cells = B * NP * MP
     gcups = cells / dt / 1e9
     print(

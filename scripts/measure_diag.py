@@ -6,12 +6,19 @@ the row kernel pays an 18-op lane cummax per row for the X state; the
 anti-diagonal evaluation order removes it at the price of a skew gather
 and a (NP+128)/NP ramp.  LOCAL score-only, headline shape.
 
-Timing protocol (CLAUDE.md): chained scan + device->host value read +
-fresh input buffer per timed call, min of 3.  BOTH chains carry the same
-in-chain S + bump add (one elementwise pass over S) so the comparison is
-apples-to-apples; the diag chain additionally includes its skew gather —
-that cost is intrinsic to the path.  Also checks bit-exact equality of
-the two kernels' best scores on hardware.
+Timing protocol (CLAUDE.md), RESIDENT-BUFFER VARIANT: the 2026-08-18
+degradation window showed XLA elementwise/gather HBM streaming can be
+~30-90x slow while Pallas fills and the MXU run at full speed — so a
+chain that bumps the 134 MB S per iteration times the *degraded streaming
+path*, not the kernel.  Here both chains keep S device-resident and
+serialize through a tiny per-iteration input instead (row kernel: the nt
+length array; diag kernel: its SMEM chain scalar — pallas_call is opaque
+to XLA, so any changing input defeats loop-invariant hoisting), with a
+fresh small buffer per timed call to defeat the tunnel's (program, args)
+execution cache, a device->host VALUE read per call, min of 3.  The skew
+gather is timed separately and reported as a per-call overhead line; it
+is one HBM pass and is meaningful only outside a degradation window
+(compare hbm_gbs below against ~800 healthy).
 """
 
 import sys
@@ -49,29 +56,27 @@ def make_inputs(B, N):
     return S, nt, mt, tile
 
 
+def hbm_probe():
+    x = jnp.ones((16 * 1024 * 1024,), jnp.float32)
+
+    @jax.jit
+    def ew(x0):
+        def body(c, _):
+            return jnp.maximum(c * 1.0000001 + 0.5, c), c[0]
+        _, out = jax.lax.scan(body, x0, None, length=64)
+        return out
+
+    _force(ew(x))
+    t0 = time.time()
+    _force(ew(x + 1.0))
+    gbs = 64 / 1024 * 2 / ((time.time() - t0) / 64)
+    print(f"hbm_gbs={gbs:.0f} (healthy v5e ~800)", flush=True)
+    return gbs
+
+
 def bench(B=512, N=512, ncall=32):
     S, nt, mt, tile = make_inputs(B, N)
-
-    @jax.jit
-    def chain_row(S0):
-        def body(bump, _):
-            Sb = S0 + bump
-            _, stats = pallas_dp.fill_tiled(
-                Sb, nt, mt, mode=LOCAL, og=-10.0, eg=-0.5,
-                score_only=True, masked_s=True,
-            )
-            return (stats[0, 0, 0] * 0.0).astype(jnp.int8), stats[0, 0, 0]
-        _, out = jax.lax.scan(body, jnp.int8(0), None, length=ncall)
-        return out
-
-    @jax.jit
-    def chain_diag(S0):
-        def body(bump, _):
-            Sb = S0 + bump
-            stats = diag_dp.fill_diag_scores(Sb, og=-10.0, eg=-0.5)
-            return (stats[0, 0, 0] * 0.0).astype(jnp.int8), stats[0, 0, 0]
-        _, out = jax.lax.scan(body, jnp.int8(0), None, length=ncall)
-        return out
+    hbm_probe()
 
     # hardware bit-exactness first (direct calls)
     _, stats_row = pallas_dp.fill_tiled(
@@ -85,38 +90,79 @@ def bench(B=512, N=512, ncall=32):
     print(f"scores bit-equal on TPU: {eq}"
           + ("" if eq else f"  max|d|={np.abs(a - b).max()}"), flush=True)
 
-    for name, chain in (("row", chain_row), ("diag", chain_diag)):
-        _force(chain(S))  # warm/compile
-        dt = None
-        for _ in range(3):
-            Sk = jnp.asarray(np.asarray(S))  # fresh device buffer
-            t0 = time.time()
-            _force(chain(Sk))
-            d = (time.time() - t0) / ncall
-            dt = d if dt is None else min(dt, d)
-        g = B * N * N / dt / 1e9
-        print(f"{name} local so: {g:.1f} GCUPS ({dt*1e3:.2f} ms/call)",
-              flush=True)
+    S_sk = diag_dp.skew_scores(S)
+    S_sk.block_until_ready()
 
-    # skew gather alone (fresh buffer per call, value read)
     @jax.jit
-    def chain_skew(S0):
-        def body(bump, _):
-            sk = diag_dp.skew_scores(S0 + bump)
-            return sk[0, 0, 0, 0, 0] * 0, sk[0, 0, -1, 0, 0]
-        _, out = jax.lax.scan(body, jnp.int8(0), None, length=ncall)
+    def chain_row(S0, nt0):
+        def body(nmt, _):
+            nt_c, mt_c = nmt
+            _, stats = pallas_dp.fill_tiled(
+                S0, nt_c, mt_c, mode=LOCAL, og=-10.0, eg=-0.5,
+                score_only=True, masked_s=True,
+            )
+            bump = (stats[0, 0, 0] * 0.0).astype(jnp.int32)
+            return (nt_c + bump, mt_c + bump), stats[0, 0, 0]
+        _, out = jax.lax.scan(body, (nt0, mt), None, length=ncall)
         return out
 
-    _force(chain_skew(S))
-    dt = None
-    for _ in range(3):
-        Sk = jnp.asarray(np.asarray(S))
-        t0 = time.time()
-        _force(chain_skew(Sk))
-        d = (time.time() - t0) / ncall
-        dt = d if dt is None else min(dt, d)
-    print(f"skew gather (in-chain, incl. bump add): {dt*1e3:.2f} ms/call",
+    @jax.jit
+    def chain_diag(Ssk0, ch0):
+        def body(ch, _):
+            stats = diag_dp.fill_diag_skewed(
+                Ssk0, og=-10.0, eg=-0.5, chain=ch,
+            )
+            return ch + stats[0, 0, 0] * 0.0, stats[0, 0, 0]
+        _, out = jax.lax.scan(body, ch0, None, length=ncall)
+        return out
+
+    def timed(fn, fresh):
+        fn(fresh())  # warm/compile (fresh buffer so the timed call misses
+        dt = None    # the tunnel's execution cache)
+        for _ in range(3):
+            arg = fresh()
+            t0 = time.time()
+            _force(fn(arg))
+            d = (time.time() - t0) / ncall
+            dt = d if dt is None else min(dt, d)
+        return dt
+
+    dt_row = timed(lambda a: chain_row(S, a),
+                   lambda: jnp.asarray(np.asarray(nt)))
+    g = B * N * N / dt_row / 1e9
+    print(f"row  local so: {g:.1f} GCUPS ({dt_row*1e3:.2f} ms/call)",
           flush=True)
+
+    dt_diag = timed(lambda a: chain_diag(S_sk, a),
+                    lambda: jnp.zeros((1,), jnp.float32))
+    g = B * N * N / dt_diag / 1e9
+    print(f"diag local so: {g:.1f} GCUPS ({dt_diag*1e3:.2f} ms/call)"
+          f"  [kernel only, excl. skew]", flush=True)
+
+    # skew gather alone: chained on itself via a scalar bump (int8-safe)
+    @jax.jit
+    def chain_skew(S0, b0):
+        def body(bmp, _):
+            sk = diag_dp.skew_scores(S0 + bmp)
+            nxt = (sk[0, 0, -1, 0, 0] * 0).astype(jnp.int8)
+            return nxt, sk[0, 0, -1, 0, 0]
+        _, out = jax.lax.scan(body, b0, None, length=8)
+        return out
+
+    chain_skew(S, jnp.int8(0))
+    dts = None
+    for _ in range(3):
+        arg = jnp.asarray(np.asarray(np.int8(0)))
+        t0 = time.time()
+        _force(chain_skew(S, arg))
+        d = (time.time() - t0) / 8
+        dts = d if dts is None else min(dts, d)
+    print(f"skew gather (incl. one S-wide bump add): {dts*1e3:.2f} ms/call",
+          flush=True)
+    tot = dt_diag + dts
+    g = B * N * N / tot / 1e9
+    print(f"diag local so incl. skew upper bound: {g:.1f} GCUPS"
+          f" ({tot*1e3:.2f} ms/call)", flush=True)
 
 
 def main():

@@ -46,8 +46,18 @@ emitted, so evaluation order is unobservable.
 Traceback and non-LOCAL modes stay on the row kernel: pointer extraction
 costs the same per cell in either order (the scan's savings are offset by
 the skew ramp), and non-LOCAL needs per-lane final-row/col captures that
-erase the wavefront's op advantage.  Measured on v5e (headline shape, 512
-pairs of 512x512): see scripts/kernel_lab_diag.py and MEASUREMENTS_r02.md.
+erase the wavefront's op advantage.
+
+MEASURED OUTCOME (v5e, headline shape 512x512x512, MEASURE_DIAG_r02.log):
+the wavefront kernel TIES the row kernel — 43.7 vs 43.3 GCUPS score-only
+— BEFORE paying its skew-gather relayout, and an S-byte-width probe
+(f32 S = 4x bytes, same speed) shows neither kernel is S-stream-bound.
+Both evaluation orders hit a common ~43.5 GCUPS ceiling that the wide-op
+count difference does not move (per-step narrow-slab and loop overheads
+dominate the scan savings).  The row kernel therefore remains the
+production default for every path; this module stays as the measured
+negative result and as the scan-free reference implementation
+(BatchAligner(diag_scores=True) routes eligible buckets here for A/B).
 """
 
 from __future__ import annotations
@@ -118,7 +128,7 @@ def skew_scores(S_tiled, *, tile: int = 0):
 
 
 def _diag_kernel(
-    s_ref, stats_ref, cw1, cw2, cx, cy, runbest, edge_w, edge_x,
+    s_ref, ch_ref, stats_ref, cw1, cw2, cx, cy, runbest, edge_w, edge_x,
     *, og: float, eg: float, db: int, tbp: int, nd: int, n_db: int,
     nstrip: int, r_group: int,
 ):
@@ -143,7 +153,10 @@ def _diag_kernel(
     """
     sid = pl.program_id(1)
     dbk = pl.program_id(2)
-    ogv = jnp.float32(og)
+    # ch_ref is the benchmark-chaining scalar (always 0.0 in production):
+    # adding exact 0.0 to og is bit-neutral but makes the fill depend on a
+    # tiny input, so serialized timing chains need not stream S per call
+    ogv = jnp.float32(og) + ch_ref[0]
     egv = jnp.float32(eg)
     n_groups = nd // r_group + 127 // r_group + 1  # ring leading dim
 
@@ -250,6 +263,7 @@ def fill_diag_scores(
     interpret: bool = False,
     r_group: int = 8,
     db: int = LW,
+    chain=None,
 ):
     """LOCAL score-only fill via the wavefront kernel.
 
@@ -257,20 +271,43 @@ def fill_diag_scores(
       S_tiled: (G, NP, TBP, MP) int8/f32 substitution scores, POISONED at
         padded cells (``batch.scores_tiled(..., n=, m=)``) — the diag path
         requires the masked_s contract; there is no masked variant.
+      chain: optional (1,) f32 holding exact 0.0 — benchmark serialization
+        hook (see _diag_kernel); None in production.
     Returns:
       stats (G, TBP, STATS_W) f32 with ``stats[..., 0]`` = best LOCAL
       score per pair — same contract as ``fill_tiled(score_only=True)``
       without argmax tracking.
     """
-    G, NP, tbp, MP = S_tiled.shape
+    S_sk = skew_scores(S_tiled)
+    return fill_diag_skewed(
+        S_sk, og=og, eg=eg, interpret=interpret, r_group=r_group, db=db,
+        chain=chain,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("og", "eg", "interpret", "r_group", "db")
+)
+def fill_diag_skewed(
+    S_sk,
+    *,
+    og: float,
+    eg: float,
+    interpret: bool = False,
+    r_group: int = 8,
+    db: int = LW,
+    chain=None,
+):
+    """Wavefront fill on pre-skewed scores (``skew_scores`` output)."""
+    G, nstrip, ND, tbp, _lw = S_sk.shape
+    assert _lw == LW
     assert tbp % TB == 0
     # the open-from-W fold needs opening to cost at least as much as
     # extending (og <= eg <= 0 in internal negated form); callers fall
     # back to the row kernel for the degenerate og > eg configurations
     assert og <= eg <= 0.0, (og, eg)
-    S_sk = skew_scores(S_tiled)
-    nstrip = MP // LW
-    ND = NP + LW
+    if chain is None:
+        chain = jnp.zeros((1,), jnp.float32)
     assert ND % db == 0 and db % r_group == 0
     n_db = ND // db
     kernel = functools.partial(
@@ -281,6 +318,7 @@ def fill_diag_scores(
     in_specs = [
         pl.BlockSpec((1, 1, db, tbp, LW), lambda g, s, d: (g, s, d, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # chain scalar
     ]
     stats_shape = jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda g, s, d: (g, 0, 0),
@@ -308,5 +346,5 @@ def fill_diag_scores(
         scratch_shapes=scratch,
         compiler_params=cp,
         interpret=interpret,
-    )(S_sk)
+    )(S_sk, chain)
     return stats
