@@ -8,9 +8,9 @@ pass.  Kept fast (~10 min cold; compiles dominate) by putting every pair
 in the same (512, 512) bucket.
 
 Covers: the Pallas fill (3 modes x {traceback, score-only} — including the
-non-LOCAL final-row capture path), the batched banded kernel with its
-on-device pointer walker, and the longseq checkpoint+refill path with
-batched window gathers.
+non-LOCAL final-row capture path), the opt-in wavefront score route, the
+batched banded kernel with its on-device pointer walker, and the longseq
+checkpoint+refill path with batched window gathers.
 
 Usage:  python -u scripts/tpu_checks.py  (writes TPU_CHECKS.txt via tee-able
 stdout; the driver artifact is committed by the round script)
@@ -94,6 +94,18 @@ def main():
         )
         report(f"pallas-scoreonly-{name}", ok,
                f"({time.time() - t0:.1f}s)")
+
+    # 2b. wavefront (diag) score route: Mosaic legality + exactness of the
+    #     opt-in scan-free kernel against the same goldens ---------------
+    t0 = time.time()
+    sc = BatchAligner(
+        mode=LOCAL, backend="pallas", diag_scores=True
+    ).score_pairs(pairs)
+    ok = all(
+        abs(float(s) - goldens[t]["local"].score) < 1e-4
+        for t, s in zip(TAGS, sc)
+    )
+    report("diag-scoreonly-local", ok, f"({time.time() - t0:.1f}s)")
 
     # 3. batched banded kernel + on-device walker: band covers the whole
     #    matrix -> must equal the exact alignment -----------------------
