@@ -689,7 +689,15 @@ def align_banded_verified(
     agree (the standard guard for banded DP — a band-constrained optimum
     almost surely improves when the band doubles); otherwise keep widening
     until agreement or the band covers the matrix (then the result is the
-    exact full DP).  Returns (idx1, idx2, score, band_used)."""
+    exact full DP).  Returns (idx1, idx2, score, band_used).
+
+    Acceptance is on score agreement alone.  ``edge_touched`` cannot be
+    required to clear: ``band_offsets`` anchors the band's slack linearly
+    (slope <= 1 is a kernel requirement), so a full-span near-diagonal
+    path — the very workload banded mode exists for — necessarily grazes
+    lane 0 near the top corner (rows where off_i >= 1 put the diagonal ON
+    the band's left edge) and lane W-1 near the bottom one.  The flag
+    remains what triggers widening when scores disagree."""
     m = len(codes2)
     cap = max_band or m
     W = band
@@ -703,7 +711,7 @@ def align_banded_verified(
             codes1, codes2, table, mode=mode, og=og, eg=eg, band=W2,
             interpret=interpret,
         )
-        if cur[2] == prev[2] and not cur[3]:
+        if cur[2] == prev[2]:
             return cur[0], cur[1], cur[2], W2
         prev = cur
         W = W2
