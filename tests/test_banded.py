@@ -101,6 +101,25 @@ def test_band_constrained_flagged():
     assert (i1, i2) == want
 
 
+def test_verified_accepts_without_edge_free_walk():
+    """Regression: a full-span near-diagonal path necessarily grazes the
+    anchored band's corner lanes (band_offsets slope <= 1), so acceptance
+    must be on W-vs-2W score agreement — not on an edge-free walk, which
+    would always widen to the cap."""
+    rng = np.random.default_rng(3)
+    n = 512
+    a = rng.integers(0, 20, size=n).astype(np.int32)
+    b = a.copy()
+    b[::17] = (b[::17] + 5) % 20  # point mutations, no drift
+    idx1, idx2, score, used = banded.align_banded_verified(
+        a, b, SM.table, mode=LOCAL, og=OG, eg=EG, band=128, max_band=512,
+        interpret=True,
+    )
+    assert used == 256  # accepted at the first doubling, not the cap
+    ref = _ref(a, b, LOCAL)
+    assert score == pytest.approx(float(ref.best[0]))
+
+
 def test_aligner_banded_api():
     """Aligner.align_banded: strings + score equal the exact engine when
     the band suffices."""
