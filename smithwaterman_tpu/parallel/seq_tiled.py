@@ -56,6 +56,10 @@ def _row_cells(
     emit_tb: bool,
     cummax_fn=None,     # lane cummax impl (Pallas kernel passes its own —
                         # Mosaic has no cummax primitive)
+    shift_fn=None,      # lane shift-right impl: (v, fill) -> shifted.
+                        # Default jnp.concatenate; the Pallas kernel passes
+                        # a pltpu.roll variant — Mosaic cannot lower the
+                        # concat of offset-layout slices at P == 1 sublane
 ):
     """One striped DP row over local lanes — the exact cell rules of
     ops/scan_dp.fill, shared by the pure-JAX shard_map path and the Pallas
@@ -69,9 +73,13 @@ def _row_cells(
     P, W = cm.shape
     lane0_is_j1 = jg == 1  # true only on device 0
 
-    Mp1 = jnp.concatenate([abm, cm[:, :-1]], axis=1)
-    Xp1 = jnp.concatenate([abx, cx[:, :-1]], axis=1)
-    Yp1 = jnp.concatenate([aby, cy[:, :-1]], axis=1)
+    if shift_fn is None:
+        shift_fn = lambda v, fill: jnp.concatenate(
+            [fill, v[:, :-1]], axis=1
+        )
+    Mp1 = shift_fn(cm, abm)
+    Xp1 = shift_fn(cx, abx)
+    Yp1 = shift_fn(cy, aby)
     val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
     if emit_tb:
         m_ge_x = Mp1 >= Xp1
@@ -115,7 +123,7 @@ def _row_cells(
     # X via the global-domain prefix scan: H[k] = G[k] - k*pe
     g_edge = jnp.maximum(ebm, eby) + po  # G at col0
     gline = jnp.maximum(val_m, val_y) + po
-    hraw = jnp.concatenate([g_edge, gline[:, :-1]], axis=1)
+    hraw = shift_fn(gline, g_edge)
     h = hraw - (jgf - 1.0) * pe
     # device 0 lane 0 holds H[0] = max(G[0], x0b + pe) (scan_dp:170)
     x0b = lsc_i + sent
@@ -130,9 +138,9 @@ def _row_cells(
     if emit_tb:
         # X predecessor pointers, recovered elementwise; the (i, j-1)
         # values at the shard's left edge come from eb (rs:172-231)
-        Mm1 = jnp.concatenate([ebm, val_m[:, :-1]], axis=1)
-        Xm1 = jnp.concatenate([ebx, val_x[:, :-1]], axis=1)
-        Ym1 = jnp.concatenate([eby, val_y[:, :-1]], axis=1)
+        Mm1 = shift_fn(val_m, ebm)
+        Xm1 = shift_fn(val_x, ebx)
+        Ym1 = shift_fn(val_y, eby)
         if mode == LOCAL:
             d1 = Mm1 + og >= Xm1 + eg
             d2 = Mm1 > Ym1
@@ -146,11 +154,9 @@ def _row_cells(
             prev_m = jnp.where(val_m == 0.0, CELL_STOP, prev_m)
             prev_x = jnp.where(val_x == 0.0, CELL_STOP, prev_x)
             prev_y = jnp.where(val_y == 0.0, CELL_STOP, prev_y)
-        tb_row = (
-            prev_m.astype(jnp.uint8)
-            | (prev_x.astype(jnp.uint8) << 2)
-            | (prev_y.astype(jnp.uint8) << 4)
-        )
+        # pack in int32 and narrow once: vector shifts on uint8 do not
+        # legalize in Mosaic (cf. ops/pallas_dp.py's int32-domain packing)
+        tb_row = (prev_m | (prev_x << 2) | (prev_y << 4)).astype(jnp.uint8)
 
     return val_m, val_x, val_y, c, tb_row
 
@@ -169,10 +175,68 @@ def _hillis_steele_cummax(v):
     return v
 
 
+def _roll_shift_right(v, fill):
+    """Mosaic-legal lane shift-right: rotate + lane-0 select.  The concat
+    form (jnp.concatenate([fill, v[:, :-1]])) fails to lower at P == 1
+    sublane (offset-layout concatenate); tpu.rotate has no such limit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rolled = pltpu.roll(v, shift=1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane == 0, fill, rolled)
+
+
+def _roll_cummax(v):
+    """Hillis-Steele lane cummax via rotate + mask (cf. _roll_shift_right);
+    correct for any W (rolled-in lanes are masked to NEG)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, W = v.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
+    sh = 1
+    while sh < W:
+        shifted = jnp.where(lane < sh, NEG, pltpu.roll(v, shift=sh, axis=1))
+        v = jnp.maximum(v, shifted)
+        sh *= 2
+    return v
+
+
+def _last_lane(v):
+    """(P, W) -> (P, 1) value of lane W-1, Mosaic-legal (roll to lane 0;
+    a direct v[:, -1:] slice carries an offset layout concatenate cannot
+    consume at P == 1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(v, shift=1, axis=1)[:, :1]
+
+
+def _stack_rows(rows, dtype):
+    """List of gs (P, W) values -> (P, gs, W) without tpu.concatenate
+    (iota-select; concat of P == 1 operands fails to lower)."""
+    B, W = rows[0].shape
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (B, len(rows), W), 1)
+    out = jnp.zeros((B, len(rows), W), dtype)
+    for qi, rv in enumerate(rows):
+        out = jnp.where(q_iota == qi, rv[:, None, :].astype(dtype), out)
+    return out
+
+
 def _make_block_kernel(*, mode, og, eg, so, se, sent, B, K, W, emit_tb):
     """Pallas per-shard row-block kernel: K striped DP rows entirely
     on-chip (VERDICT r1 weak #5 — the shard rows were pure JAX).  Exactly
-    the cell rules of the JAX path: both compile _row_cells."""
+    the cell rules of the JAX path: both compile _row_cells.
+
+    Mosaic legality: for 3-D refs shaped (B, K, W) the tiled dims are
+    (K, W), so a per-row dynamic index on dim 1 must be provably aligned
+    to the sublane tile (8 for f32, 32 for uint8).  Rows are therefore
+    processed in groups of 8 — group loads/stores at offset g*8 are
+    provable, the 8 inner row slices are static — and the traceback rows
+    are emitted as int32 (sublane tile 8, not 32) and narrowed to uint8
+    outside the kernel."""
+    gs = 8 if K % 8 == 0 else K
+    assert K % gs == 0, (K, gs)
+
+    from jax.experimental import pallas as pl
 
     def kernel(*refs):
         it = iter(refs)
@@ -224,52 +288,72 @@ def _make_block_kernel(*, mode, og, eg, so, se, sent, B, K, W, emit_tb):
                 jnp.where(at0, -1.0, li),
             )
 
-        def body(q, st):
-            cm, cx, cy, abm, abx, aby, rb, rbi, acc = st
-            i = i_start + q + 1
-            cem, cex, cey, cec = closed_edge(i)
-            ibq = ib_ref[:, q, :]  # (B, 4)
-            ebm = jnp.where(is_dev0, cem, ibq[:, 0:1])
-            ebx = jnp.where(is_dev0, cex, ibq[:, 1:2])
-            eby = jnp.where(is_dev0, cey, ibq[:, 2:3])
-            ebc = jnp.where(is_dev0, cec, ibq[:, 3:4])
-            vm, vx, vy, c, tb_row = _row_cells(
-                mode, og, eg, so, se, sent, i, jg, jgf,
-                s_ref[:, q, :], cm, cx, cy,
-                ebm, ebx, eby, ebc, abm, abx, aby,
-                nvec, mvec, emit_tb,
-                cummax_fn=_hillis_steele_cummax,
-            )
-            ob_ref[:, q, :] = jnp.concatenate(
-                [vm[:, -1:], vx[:, -1:], vy[:, -1:], c[:, -1:]], axis=1
-            )
-            if emit_tb:
-                otb_ref[:, q, :] = tb_row
-            if mode == LOCAL:
-                masked = jnp.where(valid_j & (i <= nvec), vm, NEG)
-                upd = masked > rb  # strict `>` keeps the first (smallest) i
-                rb = jnp.where(upd, masked, rb)
-                rbi = jnp.where(upd, i, rbi)
-            else:
-                take = (i == nvec) & (jg == mvec)
-                z = jnp.zeros((B, 1), jnp.float32)
-                acc = acc + jnp.concatenate(
-                    [
-                        jnp.sum(jnp.where(take, vm, 0.0), axis=1,
-                                keepdims=True),
-                        jnp.sum(jnp.where(take, vx, 0.0), axis=1,
-                                keepdims=True),
-                        jnp.sum(jnp.where(take, vy, 0.0), axis=1,
-                                keepdims=True),
-                        z,
-                    ],
-                    axis=1,
+        def group(g, st):
+            ibs = ib_ref[:, pl.ds(g * gs, gs), :]   # (B, gs, 4)
+            sbs = s_ref[:, pl.ds(g * gs, gs), :]    # (B, gs, W)
+            ob_rows = []
+            tb_rows = []
+            for q in range(gs):
+                cm, cx, cy, abm, abx, aby, rb, rbi, acc = st
+                i = i_start + g * gs + q + 1
+                cem, cex, cey, cec = closed_edge(i)
+                ibq = ibs[:, q, :]  # (B, 4)
+                ebm = jnp.where(is_dev0, cem, ibq[:, 0:1])
+                ebx = jnp.where(is_dev0, cex, ibq[:, 1:2])
+                eby = jnp.where(is_dev0, cey, ibq[:, 2:3])
+                ebc = jnp.where(is_dev0, cec, ibq[:, 3:4])
+                vm, vx, vy, c, tb_row = _row_cells(
+                    mode, og, eg, so, se, sent, i, jg, jgf,
+                    sbs[:, q, :], cm, cx, cy,
+                    ebm, ebx, eby, ebc, abm, abx, aby,
+                    nvec, mvec, emit_tb,
+                    cummax_fn=_roll_cummax,
+                    shift_fn=_roll_shift_right,
                 )
-            cam, cax, cay = closed_above(i)
-            abm = jnp.where(is_dev0, cam, ibq[:, 0:1])
-            abx = jnp.where(is_dev0, cax, ibq[:, 1:2])
-            aby = jnp.where(is_dev0, cay, ibq[:, 2:3])
-            return (vm, vx, vy, abm, abx, aby, rb, rbi, acc)
+                lane4 = jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
+                ob_rows.append(
+                    jnp.where(
+                        lane4 == 0, _last_lane(vm),
+                        jnp.where(
+                            lane4 == 1, _last_lane(vx),
+                            jnp.where(lane4 == 2, _last_lane(vy),
+                                      _last_lane(c)),
+                        ),
+                    )
+                )
+                if emit_tb:
+                    tb_rows.append(tb_row.astype(jnp.int32))
+                if mode == LOCAL:
+                    masked = jnp.where(valid_j & (i <= nvec), vm, NEG)
+                    upd = masked > rb  # strict `>`: first (smallest) i wins
+                    rb = jnp.where(upd, masked, rb)
+                    rbi = jnp.where(upd, i, rbi)
+                else:
+                    take = (i == nvec) & (jg == mvec)
+                    z = jnp.zeros((B, 1), jnp.float32)
+                    acc = acc + jnp.concatenate(
+                        [
+                            jnp.sum(jnp.where(take, vm, 0.0), axis=1,
+                                    keepdims=True),
+                            jnp.sum(jnp.where(take, vx, 0.0), axis=1,
+                                    keepdims=True),
+                            jnp.sum(jnp.where(take, vy, 0.0), axis=1,
+                                    keepdims=True),
+                            z,
+                        ],
+                        axis=1,
+                    )
+                cam, cax, cay = closed_above(i)
+                abm = jnp.where(is_dev0, cam, ibq[:, 0:1])
+                abx = jnp.where(is_dev0, cax, ibq[:, 1:2])
+                aby = jnp.where(is_dev0, cay, ibq[:, 2:3])
+                st = (vm, vx, vy, abm, abx, aby, rb, rbi, acc)
+            ob_ref[:, pl.ds(g * gs, gs), :] = _stack_rows(ob_rows, jnp.float32)
+            if emit_tb:
+                otb_ref[:, pl.ds(g * gs, gs), :] = _stack_rows(
+                    tb_rows, jnp.int32
+                )
+            return st
 
         # device 0's carried above-edge is junk (it ppermutes from the last
         # device); re-apply the closed form at (i_start, 0), exactly as the
@@ -283,7 +367,7 @@ def _make_block_kernel(*, mode, og, eg, so, se, sent, B, K, W, emit_tb):
             irb_ref[:, :], irbi_ref[:, :], iacc_ref[:, :],
         )
         cm, cx, cy, _, _, _, rb, rbi, acc = jax.lax.fori_loop(
-            0, K, body, st0, unroll=False
+            0, K // gs, group, st0, unroll=False
         )
         ocm_ref[:, :] = cm
         ocx_ref[:, :] = cx
@@ -313,7 +397,10 @@ def _block_pallas_call(
         jax.ShapeDtypeStruct((B, 4), jnp.float32),   # acc
     ]
     if emit_tb:
-        out_shape.append(jax.ShapeDtypeStruct((B, K, W), jnp.uint8))
+        # int32, not uint8: the kernel's grouped row stores are aligned to
+        # the f32/i32 sublane tile (8); uint8 would demand 32 (see
+        # _make_block_kernel).  Narrowed to uint8 by the caller.
+        out_shape.append(jax.ShapeDtypeStruct((B, K, W), jnp.int32))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ] + [vmem() for _ in range(11)]
@@ -322,6 +409,10 @@ def _block_pallas_call(
         in_specs=in_specs,
         out_specs=tuple(vmem() for _ in out_shape),
         out_shape=tuple(out_shape),
+        # wide single-device shards (64k+ lanes) carry a per-W working set
+        # (carries + cummax temporaries) past the default 16 MB scoped
+        # limit; v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=interpret,
     )(scal, nv2, mv2, Sblk, inbox, above, cm, cx, cy, rb, rbi, acc)
     return outs
@@ -343,6 +434,15 @@ def _build_local_fill(
     kernel — same _row_cells rules, on-chip carries).
     """
     W = MP // D
+    if rows_impl == "pallas":
+        # VMEM budget for the block kernel: the S block (f32) plus, when
+        # tracing, the int32 tb block are the K-proportional buffers; halve
+        # K until they fit the ~16 MB scoped-vmem limit with headroom
+        # (halving preserves K | NP and K | ckpt_rows).  Wide single-device
+        # shards (e.g. 64k columns) land here.
+        budget = 8 << 20
+        while K > 8 and 4 * B * K * W * (2 if emit_tb else 1) > budget:
+            K //= 2
     NB = NP // K
     T = NB + D - 1
     C = ckpt_rows
@@ -517,7 +617,11 @@ def _build_local_fill(
                 )
                 cm2, cx2, cy2, outbox, rb2, rbi2, a32 = outs[:7]
                 a32 = a32[:, :3]
-                tbs = outs[7] if emit_tb else jnp.zeros((), jnp.uint8)
+                tbs = (
+                    outs[7].astype(jnp.uint8)
+                    if emit_tb
+                    else jnp.zeros((), jnp.uint8)
+                )
             else:
                 outbox0 = jnp.zeros((B, K, 4), jnp.float32)
                 tbs0 = (
