@@ -161,20 +161,6 @@ def _row_cells(
     return val_m, val_x, val_y, c, tb_row
 
 
-def _hillis_steele_cummax(v):
-    """Lane-axis cummax as a log-step max scan (Mosaic has no cummax
-    primitive; exact — same trick as ops/pallas_dp._cummax_lanes)."""
-    P, W = v.shape
-    sh = 1
-    while sh < W:
-        shifted = jnp.concatenate(
-            [jnp.full((P, sh), NEG, v.dtype), v[:, :-sh]], axis=1
-        )
-        v = jnp.maximum(v, shifted)
-        sh *= 2
-    return v
-
-
 def _roll_shift_right(v, fill):
     """Mosaic-legal lane shift-right: rotate + lane-0 select.  The concat
     form (jnp.concatenate([fill, v[:, :-1]])) fails to lower at P == 1
