@@ -41,6 +41,9 @@ from jax.sharding import PartitionSpec as P
 from ..config import CELL_MATCH, CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
 NEG = -3.0e38
+# minimum shard width for the sublane-folded single-pair kernel (below
+# this the fold's cross-sublane carries cost more than they save)
+FOLD_MIN_W = 1024
 BIGI = 2**30
 
 
@@ -194,6 +197,62 @@ def _last_lane(v):
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.roll(v, shift=1, axis=1)[:, :1]
+
+
+# ---------------------------------------------------------------------------
+# Sublane-folded helpers (B == 1 single-pair shards).
+#
+# A one-pair shard runs every row op as (1, W): one of the VPU's 8 sublanes
+# doing all the work.  Folding the shard's W lanes onto the sublane axis —
+# v[s, l] holds global lane s*Wf + l, Wf = W // 8 — fills the register file
+# and cuts the vector-op count 8x.  The global lane ORDER (the thing the
+# shift and the prefix cummax depend on) is sublane-major, so the shift
+# carries one value across each sublane boundary and the cummax becomes the
+# classic two-level blocked scan: per-sublane lane scan + exclusive
+# sublane-prefix of the block totals.
+# ---------------------------------------------------------------------------
+
+
+def _fold_last_lane(v):
+    """Global last lane of a folded (8, Wf) value -> (1, 1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = pltpu.roll(pltpu.roll(v, shift=1, axis=1), shift=1, axis=0)
+    return r[:1, :1]
+
+
+def _fold_shift_right(v, fill):
+    """Global shift-right of a folded (8, Wf) value; ``fill`` enters at
+    global lane 0 (sublane 0, lane 0); every other sublane's lane 0 takes
+    the previous sublane's last lane."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    prev_last = pltpu.roll(
+        pltpu.roll(v, shift=1, axis=1)[:, :1], shift=1, axis=0
+    )  # (8, 1): sublane s <- sublane s-1's last lane (s=0: junk)
+    sub = jax.lax.broadcasted_iota(jnp.int32, prev_last.shape, 0)
+    fillv = jnp.where(sub == 0, fill, prev_last)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane == 0, fillv, pltpu.roll(v, shift=1, axis=1))
+
+
+def _fold_cummax(v):
+    """Global-lane-order cummax of a folded (8, Wf) value: per-sublane
+    lane scan, then fold in the exclusive prefix of sublane totals."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, Wf = v.shape
+    a = _roll_cummax(v)                      # within-sublane inclusive scan
+    t = pltpu.roll(a, shift=1, axis=1)[:, :1]  # (8,1) block totals
+    sub = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    # exclusive prefix over sublanes: e[s] = max(t[0..s-1])
+    e = jnp.where(sub == 0, NEG, pltpu.roll(t, shift=1, axis=0))
+    sh = 1
+    while sh < P:
+        shifted = jnp.where(sub < sh, NEG, pltpu.roll(e, shift=sh, axis=0))
+        e = jnp.maximum(e, shifted)
+        sh *= 2
+    return jnp.maximum(a, e)
 
 
 def _stack_rows(rows, dtype):
@@ -365,6 +424,178 @@ def _make_block_kernel(*, mode, og, eg, so, se, sent, B, K, W, emit_tb):
     return kernel
 
 
+def _make_block_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf, emit_tb):
+    """Sublane-folded variant of _make_block_kernel for B == 1 shards.
+
+    Single-pair shards run every (1, W) row op on one of the VPU's 8
+    sublanes; folding the shard onto (8, Wf = W // 8) — sublane s carries
+    global lanes [s*Wf, (s+1)*Wf) — fills the register file and cuts the
+    vector-op count ~8x.  The shift and cummax use the _fold_* helpers
+    (cross-sublane carry / two-level blocked scan); everything else is the
+    same _row_cells rules, bit-identical by construction.
+
+    Ref layouts put the row index on an UNTILED leading axis (legal
+    dynamic indexing, no group alignment needed): s (K, 8, Wf),
+    inbox/outbox (K, 1, 4), tb out (K, 8, Wf) int32."""
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal_ref = next(it)   # (1, 4) SMEM: [i_start, col0, is_dev0, 0]
+        n_ref = next(it)      # (1, 1) i32
+        m_ref = next(it)
+        s_ref = next(it)      # (K, 8, Wf) f32
+        ib_ref = next(it)     # (K, 1, 4) f32 inbox (left edges per row)
+        ab_ref = next(it)     # (1, 4) f32 above edge at (i0, col0)
+        icm_ref = next(it)    # (8, Wf) carries in
+        icx_ref = next(it)
+        icy_ref = next(it)
+        irb_ref = next(it)    # (8, Wf) f32 running best (per lane)
+        irbi_ref = next(it)   # (8, Wf) i32 running best row
+        iacc_ref = next(it)   # (1, 4) f32 final-cell accumulator (padded)
+        ocm_ref = next(it)
+        ocx_ref = next(it)
+        ocy_ref = next(it)
+        ob_ref = next(it)     # (K, 1, 4) outbox (right edges per row)
+        orb_ref = next(it)
+        orbi_ref = next(it)
+        oacc_ref = next(it)
+        otb_ref = next(it) if emit_tb else None
+
+        i_start = scal_ref[0, 0]
+        col0 = scal_ref[0, 1]
+        is_dev0 = scal_ref[0, 2] == 1
+        nvec = n_ref[:, :]   # (1, 1) — broadcasts against folded (8, Wf)
+        mvec = m_ref[:, :]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, Wf), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, Wf), 1)
+        jg = col0 + sub * Wf + lane + 1   # global column, sublane-major
+        jgf = jg.astype(jnp.float32)
+        valid_j = jg <= mvec
+
+        def lscf(i):
+            return i.astype(jnp.float32) * se + (so - se)
+
+        def closed_edge(i):
+            li = jnp.broadcast_to(lscf(i), (1, 1))
+            return (li + sent, li + sent, li,
+                    jnp.full((1, 1), NEG, jnp.float32))
+
+        def closed_above(i):
+            li = jnp.broadcast_to(lscf(i), (1, 1))
+            at0 = i == 0
+            return (
+                jnp.where(at0, 0.0, li + sent),
+                jnp.where(at0, -1.0, li + sent),
+                jnp.where(at0, -1.0, li),
+            )
+
+        def body(q, st):
+            cm, cx, cy, abm, abx, aby, rb, rbi, acc = st
+            i = i_start + q + 1
+            cem, cex, cey, cec = closed_edge(i)
+            ibq = ib_ref[q]  # (1, 4)
+            ebm = jnp.where(is_dev0, cem, ibq[:, 0:1])
+            ebx = jnp.where(is_dev0, cex, ibq[:, 1:2])
+            eby = jnp.where(is_dev0, cey, ibq[:, 2:3])
+            ebc = jnp.where(is_dev0, cec, ibq[:, 3:4])
+            vm, vx, vy, c, tb_row = _row_cells(
+                mode, og, eg, so, se, sent, i, jg, jgf,
+                s_ref[q], cm, cx, cy,
+                ebm, ebx, eby, ebc, abm, abx, aby,
+                nvec, mvec, emit_tb,
+                cummax_fn=_fold_cummax,
+                shift_fn=_fold_shift_right,
+            )
+            lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+            ob_ref[q] = jnp.where(
+                lane4 == 0, _fold_last_lane(vm),
+                jnp.where(
+                    lane4 == 1, _fold_last_lane(vx),
+                    jnp.where(lane4 == 2, _fold_last_lane(vy),
+                              _fold_last_lane(c)),
+                ),
+            )
+            if emit_tb:
+                otb_ref[q] = tb_row.astype(jnp.int32)
+            if mode == LOCAL:
+                masked = jnp.where(valid_j & (i <= nvec), vm, NEG)
+                upd = masked > rb  # strict `>`: first (smallest) i wins
+                rb = jnp.where(upd, masked, rb)
+                rbi = jnp.where(upd, i, rbi)
+            else:
+                take = (i == nvec) & (jg == mvec)
+                lane4a = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+                sm_ = jnp.sum(jnp.where(take, vm, 0.0)).reshape(1, 1)
+                sx_ = jnp.sum(jnp.where(take, vx, 0.0)).reshape(1, 1)
+                sy_ = jnp.sum(jnp.where(take, vy, 0.0)).reshape(1, 1)
+                acc = acc + jnp.where(
+                    lane4a == 0, sm_,
+                    jnp.where(lane4a == 1, sx_,
+                              jnp.where(lane4a == 2, sy_,
+                                        jnp.zeros((1, 1), jnp.float32))),
+                )
+            cam, cax, cay = closed_above(i)
+            abm = jnp.where(is_dev0, cam, ibq[:, 0:1])
+            abx = jnp.where(is_dev0, cax, ibq[:, 1:2])
+            aby = jnp.where(is_dev0, cay, ibq[:, 2:3])
+            return (vm, vx, vy, abm, abx, aby, rb, rbi, acc)
+
+        ca_m, ca_x, ca_y = closed_above(i_start)
+        st0 = (
+            icm_ref[:, :], icx_ref[:, :], icy_ref[:, :],
+            jnp.where(is_dev0, ca_m, ab_ref[:, 0:1]),
+            jnp.where(is_dev0, ca_x, ab_ref[:, 1:2]),
+            jnp.where(is_dev0, ca_y, ab_ref[:, 2:3]),
+            irb_ref[:, :], irbi_ref[:, :], iacc_ref[:, :],
+        )
+        cm, cx, cy, _, _, _, rb, rbi, acc = jax.lax.fori_loop(
+            0, K, body, st0, unroll=False
+        )
+        ocm_ref[:, :] = cm
+        ocx_ref[:, :] = cx
+        ocy_ref[:, :] = cy
+        orb_ref[:, :] = rb
+        orbi_ref[:, :] = rbi
+        oacc_ref[:, :] = acc
+
+    return kernel
+
+
+def _block_pallas_call_folded(
+    kernel, *, K, Wf, emit_tb, interpret,
+    scal, nv2, mv2, Sblk, inbox, above, cm, cx, cy, rb, rbi, acc,
+):
+    """pallas_call wrapper for the folded kernel.  All array args arrive
+    in the folded layouts (see _make_block_kernel_folded)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((8, Wf), jnp.float32),   # cm
+        jax.ShapeDtypeStruct((8, Wf), jnp.float32),   # cx
+        jax.ShapeDtypeStruct((8, Wf), jnp.float32),   # cy
+        jax.ShapeDtypeStruct((K, 1, 4), jnp.float32),  # outbox
+        jax.ShapeDtypeStruct((8, Wf), jnp.float32),   # rb
+        jax.ShapeDtypeStruct((8, Wf), jnp.int32),     # rbi
+        jax.ShapeDtypeStruct((1, 4), jnp.float32),    # acc
+    ]
+    if emit_tb:
+        out_shape.append(jax.ShapeDtypeStruct((K, 8, Wf), jnp.int32))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ] + [vmem() for _ in range(11)]
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=tuple(vmem() for _ in out_shape),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        interpret=interpret,
+    )(scal, nv2, mv2, Sblk, inbox, above, cm, cx, cy, rb, rbi, acc)
+    return outs
+
+
 def _block_pallas_call(
     kernel, *, B, K, W, emit_tb, interpret,
     scal, nv2, mv2, Sblk, inbox, above, cm, cx, cy, rb, rbi, acc,
@@ -501,14 +732,24 @@ def _build_local_fill(
 
         jg2 = jnp.broadcast_to(jg[None, :], (B, W))
         jgf2 = jnp.broadcast_to(jgf[None, :], (B, W))
-        blk_kernel = (
-            _make_block_kernel(
+        # single-pair shards fold onto the sublane axis (8x VPU occupancy)
+        fold = (
+            rows_impl == "pallas" and B == 1 and W % 8 == 0
+            and W >= FOLD_MIN_W
+        )
+        Wf = W // 8
+        if rows_impl != "pallas":
+            blk_kernel = None
+        elif fold:
+            blk_kernel = _make_block_kernel_folded(
+                mode=mode, og=og, eg=eg, so=so, se=se, sent=sent,
+                K=K, Wf=Wf, emit_tb=emit_tb,
+            )
+        else:
+            blk_kernel = _make_block_kernel(
                 mode=mode, og=og, eg=eg, so=so, se=se, sent=sent,
                 B=B, K=K, W=W, emit_tb=emit_tb,
             )
-            if rows_impl == "pallas"
-            else None
-        )
 
         def row_math(i, srow, cm, cx, cy, eb, eb_above):
             """One DP row over the local lanes — delegates to the shared
@@ -593,21 +834,47 @@ def _build_local_fill(
                 acc4 = jnp.concatenate(
                     [acc, jnp.zeros((B, 1), jnp.float32)], axis=1
                 )
-                outs = _block_pallas_call(
-                    blk_kernel, B=B, K=K, W=W, emit_tb=emit_tb,
-                    interpret=interpret,
-                    scal=scal, nv2=nv.astype(jnp.int32),
-                    mv2=mv.astype(jnp.int32), Sblk=Sblk, inbox=inbox,
-                    above=above4, cm=cm, cx=cx, cy=cy, rb=runbest,
-                    rbi=runbest_i, acc=acc4,
-                )
-                cm2, cx2, cy2, outbox, rb2, rbi2, a32 = outs[:7]
-                a32 = a32[:, :3]
-                tbs = (
-                    outs[7].astype(jnp.uint8)
-                    if emit_tb
-                    else jnp.zeros((), jnp.uint8)
-                )
+                if fold:
+                    outs = _block_pallas_call_folded(
+                        blk_kernel, K=K, Wf=Wf, emit_tb=emit_tb,
+                        interpret=interpret,
+                        scal=scal, nv2=nv.astype(jnp.int32),
+                        mv2=mv.astype(jnp.int32),
+                        Sblk=Sblk.reshape(K, 8, Wf),
+                        inbox=inbox.reshape(K, 1, 4),
+                        above=above4, cm=cm.reshape(8, Wf),
+                        cx=cx.reshape(8, Wf), cy=cy.reshape(8, Wf),
+                        rb=runbest.reshape(8, Wf),
+                        rbi=runbest_i.reshape(8, Wf), acc=acc4,
+                    )
+                    cm2 = outs[0].reshape(B, W)
+                    cx2 = outs[1].reshape(B, W)
+                    cy2 = outs[2].reshape(B, W)
+                    outbox = outs[3].reshape(B, K, 4)
+                    rb2 = outs[4].reshape(B, W)
+                    rbi2 = outs[5].reshape(B, W)
+                    a32 = outs[6][:, :3]
+                    tbs = (
+                        outs[7].astype(jnp.uint8).reshape(B, K, W)
+                        if emit_tb
+                        else jnp.zeros((), jnp.uint8)
+                    )
+                else:
+                    outs = _block_pallas_call(
+                        blk_kernel, B=B, K=K, W=W, emit_tb=emit_tb,
+                        interpret=interpret,
+                        scal=scal, nv2=nv.astype(jnp.int32),
+                        mv2=mv.astype(jnp.int32), Sblk=Sblk, inbox=inbox,
+                        above=above4, cm=cm, cx=cx, cy=cy, rb=runbest,
+                        rbi=runbest_i, acc=acc4,
+                    )
+                    cm2, cx2, cy2, outbox, rb2, rbi2, a32 = outs[:7]
+                    a32 = a32[:, :3]
+                    tbs = (
+                        outs[7].astype(jnp.uint8)
+                        if emit_tb
+                        else jnp.zeros((), jnp.uint8)
+                    )
             else:
                 outbox0 = jnp.zeros((B, K, 4), jnp.float32)
                 tbs0 = (

@@ -122,6 +122,66 @@ def test_striped_pallas_rows_match_jax_rows(mode):
         assert idx_p[b] == idx_j[b], f"pair {b}"
 
 
+@pytest.mark.parametrize("mode", [LOCAL, GLOBAL])
+def test_striped_folded_single_pair(mode, monkeypatch):
+    """Sublane-folded B == 1 kernel (fold gate forced on by lowering
+    FOLD_MIN_W): striped scores AND alignment strings bit-identical to
+    the pure-JAX rows across the mesh."""
+    from smithwaterman_tpu.parallel import seq_tiled
+    from smithwaterman_tpu.parallel.seq_tiled import striped_align, striped_fill
+
+    monkeypatch.setattr(seq_tiled, "FOLD_MIN_W", 16)
+    mesh = make_mesh(8)
+    sm = SubstitutionMatrix.blosum62()
+    codes1 = RNG.integers(0, 24, size=(1, NP)).astype(np.int32)
+    codes2 = RNG.integers(0, 24, size=(1, MP)).astype(np.int32)
+    n = np.array([231], dtype=np.int32)
+    m = np.array([256], dtype=np.int32)
+    S = sm.dense_scores(codes1[0], codes2[0])[None].astype(np.float32)
+
+    got = np.asarray(
+        striped_fill(
+            S, n, m, mode=mode, og=OG, eg=EG, block_rows=32, mesh=mesh,
+            rows="pallas", interpret=True,
+        )
+    )
+    ref = batch.fill_scan(S, n, m, mode=mode, og=OG, eg=EG, score_only=True)
+    if mode == LOCAL:
+        np.testing.assert_array_equal(got, np.asarray(ref.best))
+    else:
+        np.testing.assert_array_equal(got, np.asarray(ref.final))
+
+    idx_p, st_p = striped_align(
+        S, n, m, mode=mode, og=OG, eg=EG, mesh=mesh,
+        block_rows=16, ckpt_rows=64, rows="pallas", interpret=True,
+    )
+    idx_j, st_j = striped_align(
+        S, n, m, mode=mode, og=OG, eg=EG, mesh=mesh,
+        block_rows=16, ckpt_rows=64,
+    )
+    np.testing.assert_array_equal(st_p, st_j)
+    assert idx_p[0] == idx_j[0]
+
+
+def test_striped_folded_natural_width():
+    """Fold engages at its production threshold (W = 1024 per shard)."""
+    from smithwaterman_tpu.parallel.seq_tiled import striped_fill
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    n = np.array([24], dtype=np.int32)
+    m = np.array([8192], dtype=np.int32)
+    S = rng.integers(-4, 12, size=(1, 24, 8192)).astype(np.float32)
+    got = np.asarray(
+        striped_fill(
+            S, n, m, mode=LOCAL, og=OG, eg=EG, block_rows=8, mesh=mesh,
+            rows="pallas", interpret=True,
+        )
+    )
+    ref = batch.fill_scan(S, n, m, mode=LOCAL, og=OG, eg=EG, score_only=True)
+    np.testing.assert_array_equal(got, np.asarray(ref.best))
+
+
 @pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
 @pytest.mark.parametrize("block_rows", [32, 256])
 def test_striped_matches_scan(mode, block_rows):
