@@ -42,8 +42,10 @@ from ..config import CELL_MATCH, CELL_STOP, GLOBAL, GLOCAL, LOCAL
 
 NEG = -3.0e38
 # minimum shard width for the sublane-folded single-pair kernel (below
-# this the fold's cross-sublane carries cost more than they save)
+# this the fold's cross-sublane carries cost more than they save), and
+# the per-sublane-chunk lane alignment its 8 fold DMAs require
 FOLD_MIN_W = 1024
+FOLD_LANE = 128
 BIGI = 2**30
 
 
@@ -436,14 +438,18 @@ def _make_block_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf, emit_tb):
 
     Ref layouts put the row index on an UNTILED leading axis (legal
     dynamic indexing, no group alignment needed): s (K, 8, Wf),
-    inbox/outbox (K, 1, 4), tb out (K, 8, Wf) int32."""
+    inbox/outbox (K, 1, 4), tb out (K, 8, Wf) int32.  (A variant that
+    folded S in-kernel via 8 strided DMAs was tried and is NOT possible:
+    the VMEM target view at sublane chunk j is not tile-aligned and
+    Mosaic rejects the dma_start — the shard folds once in XLA before
+    the scan instead.)"""
 
     def kernel(*refs):
         it = iter(refs)
-        scal_ref = next(it)   # (1, 4) SMEM: [i_start, col0, is_dev0, 0]
+        scal_ref = next(it)   # (1, 4) SMEM: [i_start, col0, is_dev0, blk]
         n_ref = next(it)      # (1, 1) i32
         m_ref = next(it)
-        s_ref = next(it)      # (K, 8, Wf) f32
+        s_ref = next(it)      # (K, 8, Wf) f32 — this block's folded rows
         ib_ref = next(it)     # (K, 1, 4) f32 inbox (left edges per row)
         ab_ref = next(it)     # (1, 4) f32 above edge at (i0, col0)
         icm_ref = next(it)    # (8, Wf) carries in
@@ -732,10 +738,11 @@ def _build_local_fill(
 
         jg2 = jnp.broadcast_to(jg[None, :], (B, W))
         jgf2 = jnp.broadcast_to(jgf[None, :], (B, W))
-        # single-pair shards fold onto the sublane axis (8x VPU occupancy)
+        # single-pair shards fold onto the sublane axis (8x VPU occupancy);
+        # W % (8*FOLD_LANE) keeps the 8 per-chunk fold DMAs lane-aligned
         fold = (
-            rows_impl == "pallas" and B == 1 and W % 8 == 0
-            and W >= FOLD_MIN_W
+            rows_impl == "pallas" and B == 1 and K % 8 == 0
+            and W % (8 * FOLD_LANE) == 0 and W >= FOLD_MIN_W
         )
         Wf = W // 8
         if rows_impl != "pallas":
@@ -772,13 +779,24 @@ def _build_local_fill(
             )
             return vm, vx, vy, edge, tb_row
 
+        # fold S once, before the scan (one relayout pass over the shard);
+        # folding per block would pay the same pass T times over
+        S_f = S_l.reshape(NP, 8, Wf) if fold else None
+
         def step(carry, t):
             (cm, cx, cy, inbox, above, runbest, runbest_i, acc,
              cks, tb_buf) = carry
             r = t - d
             active = (r >= 0) & (r < NB)
             r_c = jnp.clip(r, 0, NB - 1)
-            Sblk = jax.lax.dynamic_slice(S_l, (0, r_c * K, 0), (B, K, W))
+            if fold:
+                Sblk = jax.lax.dynamic_slice(
+                    S_f, (r_c * K, 0, 0), (K, 8, Wf)
+                )
+            else:
+                Sblk = jax.lax.dynamic_slice(
+                    S_l, (0, r_c * K, 0), (B, K, W)
+                )
 
             def row_body(rc, q):
                 cm, cx, cy, outbox, above_row, rb, rbi, a3, tbs = rc
@@ -840,7 +858,7 @@ def _build_local_fill(
                         interpret=interpret,
                         scal=scal, nv2=nv.astype(jnp.int32),
                         mv2=mv.astype(jnp.int32),
-                        Sblk=Sblk.reshape(K, 8, Wf),
+                        Sblk=Sblk,
                         inbox=inbox.reshape(K, 1, 4),
                         above=above4, cm=cm.reshape(8, Wf),
                         cx=cx.reshape(8, Wf), cy=cy.reshape(8, Wf),

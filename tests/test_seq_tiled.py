@@ -131,6 +131,7 @@ def test_striped_folded_single_pair(mode, monkeypatch):
     from smithwaterman_tpu.parallel.seq_tiled import striped_align, striped_fill
 
     monkeypatch.setattr(seq_tiled, "FOLD_MIN_W", 16)
+    monkeypatch.setattr(seq_tiled, "FOLD_LANE", 1)
     mesh = make_mesh(8)
     sm = SubstitutionMatrix.blosum62()
     codes1 = RNG.integers(0, 24, size=(1, NP)).astype(np.int32)
