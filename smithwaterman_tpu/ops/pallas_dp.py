@@ -90,6 +90,9 @@ TB = 8   # minimum tile granularity (VPU sublane count)
 # best on both paths pre-xscan (kernel_lab R8/R16 variants, separate
 # jits); post-xscan re-check pending a valid env-var A/B.
 _MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "8"))
+# finals_gate block specialization for non-LOCAL fills (commit 060d551);
+# env off-switch exists for perf A/Bs only (same separate-process rule)
+_FINALS_GATE = os.environ.get("SWTPU_FINALS_GATE", "1") != "0"
 DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
 BIGI = 2**30  # "unset" argmax sentinel (python int: kernels must not capture tracers)
@@ -103,8 +106,11 @@ def _row_block(np_pad: int, mp_pad: int, tbp: int, itemsize: int) -> int:
 
     The result always divides ``np_pad`` (beyond-ladder buckets are rounded
     to 256-multiples, not powers of two — config.bucket_len), so the grid
-    covers every row; cf. the same guard in banded.fill_banded."""
-    budget = 1 << 20
+    covers every row; cf. the same guard in banded.fill_banded.
+
+    ``SWTPU_RB_BUDGET_KB`` overrides the block budget for perf A/Bs
+    (separate processes — see the _MAX_R cache caveat above)."""
+    budget = int(os.environ.get("SWTPU_RB_BUDGET_KB", "1024")) << 10
     rb = max(8, budget // max(1, tbp * mp_pad * itemsize))
     rb = 1 << (rb.bit_length() - 1)  # floor to power of two
     rb = min(rb, np_pad)
@@ -113,6 +119,16 @@ def _row_block(np_pad: int, mp_pad: int, tbp: int, itemsize: int) -> int:
     if np_pad % rb:
         raise ValueError(f"np_pad {np_pad} is not a multiple of 8")
     return rb
+
+
+def _row_group(rb_rows: int) -> int:
+    """In-register row-group size the kernel will use for an rb_rows
+    block: the largest power of two <= _MAX_R dividing rb_rows."""
+    r = 1
+    for cand in (2, 4, 8, 16):
+        if cand <= _MAX_R and rb_rows % cand == 0:
+            r = cand
+    return r
 
 
 def choose_tile(count: int, mp_pad: int) -> int:
@@ -489,10 +505,7 @@ def _kernel(
     # per group (R=8 measured best on both paths at the headline shape —
     # see the _MAX_R note and scripts/kernel_lab.py).  SWTPU_MAX_ROWGROUP
     # overrides for A/B.
-    R = 1
-    for cand in (2, 4, 8, 16):
-        if cand <= _MAX_R and rb_rows % cand == 0:
-            R = cand
+    R = _row_group(rb_rows)
 
     def make_group_step(capture, interior):
         def group_step(g, _):
@@ -630,7 +643,18 @@ def fill_tiled(
     n_row_blocks = NP // rb_rows
     assert n_row_blocks * rb_rows == NP
 
-    finals_gate = mode != LOCAL
+    # Block specialization pays except on traceback fills whose row block
+    # is a single register group (rb_rows == R): there the branchy
+    # single-iteration body defeats DMA pipelining of the tb write-back —
+    # measured 20.2 vs 31.5 GCUPS at (tile=128, MP=1024, rb=8) glocal tb,
+    # while the same shape score-only PREFERS the gate (43.1 vs 41.5) and
+    # multi-group traceback blocks do too (512^2: 34.0 vs 33.0).  See
+    # MEASUREMENTS_r02.md "finals_gate shape rule".
+    finals_gate = (
+        mode != LOCAL
+        and _FINALS_GATE
+        and (score_only or rb_rows // _row_group(rb_rows) > 1)
+    )
     kernel = functools.partial(
         _kernel,
         mode=mode,
