@@ -121,6 +121,23 @@ def _row_block(np_pad: int, mp_pad: int, tbp: int, itemsize: int) -> int:
     return rb
 
 
+def _use_finals_gate(mode: int, score_only: bool, rb_rows: int) -> bool:
+    """Whether the non-LOCAL block specialization (finals gate, commit
+    060d551) pays for this fill shape.  It pays except on traceback fills
+    whose row block is a single register group (rb_rows == R): there the
+    gate's two single-iteration branch bodies defeat DMA pipelining of
+    the tb write-back — measured 20.2 vs 31.5 GCUPS at (tile=128,
+    MP=1024, rb=8) glocal traceback, while the same shape score-only
+    PREFERS the gate (43.1 vs 41.5) and multi-group traceback blocks do
+    too (512^2 tb: 34.0 vs 33.0).  See MEASUREMENTS_r02.md
+    "finals_gate shape rule"."""
+    return (
+        mode != LOCAL
+        and _FINALS_GATE
+        and (score_only or rb_rows // _row_group(rb_rows) > 1)
+    )
+
+
 def _row_group(rb_rows: int) -> int:
     """In-register row-group size the kernel will use for an rb_rows
     block: the largest power of two <= _MAX_R dividing rb_rows."""
@@ -643,18 +660,7 @@ def fill_tiled(
     n_row_blocks = NP // rb_rows
     assert n_row_blocks * rb_rows == NP
 
-    # Block specialization pays except on traceback fills whose row block
-    # is a single register group (rb_rows == R): there the branchy
-    # single-iteration body defeats DMA pipelining of the tb write-back —
-    # measured 20.2 vs 31.5 GCUPS at (tile=128, MP=1024, rb=8) glocal tb,
-    # while the same shape score-only PREFERS the gate (43.1 vs 41.5) and
-    # multi-group traceback blocks do too (512^2: 34.0 vs 33.0).  See
-    # MEASUREMENTS_r02.md "finals_gate shape rule".
-    finals_gate = (
-        mode != LOCAL
-        and _FINALS_GATE
-        and (score_only or rb_rows // _row_group(rb_rows) > 1)
-    )
+    finals_gate = _use_finals_gate(mode, score_only, rb_rows)
     kernel = functools.partial(
         _kernel,
         mode=mode,

@@ -232,6 +232,59 @@ def test_row_block_divides_np():
                 assert rb >= 1
 
 
+def test_finals_gate_shape_rule():
+    """The non-LOCAL block specialization is dropped exactly on traceback
+    fills whose row block is a single register group (rb_rows == R) —
+    measured 20.2 vs 31.5 GCUPS at that shape (MEASUREMENTS_r02.md
+    "finals_gate shape rule")."""
+    from smithwaterman_tpu.ops.pallas_dp import _MAX_R, _use_finals_gate
+
+    if _MAX_R != 8:  # pragma: no cover - env-var A/B runs only
+        pytest.skip("rule table assumes the default row-group cap")
+    assert not _use_finals_gate(LOCAL, False, 8)   # LOCAL never gates
+    assert not _use_finals_gate(GLOCAL, False, 8)  # single-group traceback
+    assert not _use_finals_gate(GLOBAL, False, 8)
+    assert _use_finals_gate(GLOCAL, True, 8)       # score-only keeps it
+    assert _use_finals_gate(GLOCAL, False, 16)     # multi-group keeps it
+    assert _use_finals_gate(GLOBAL, False, 32)
+
+
+@pytest.mark.parametrize("mode", [GLOCAL, GLOBAL])
+def test_kernel_single_group_traceback_ungated(mode):
+    """Bit-exactness of the UNGATED non-LOCAL traceback path now taken by
+    default when rb_rows == R (NP=32, MP=16384 -> 8-row blocks): final
+    stats and every traceback pointer must match the scan reference."""
+    from smithwaterman_tpu.ops.pallas_dp import _row_block, _use_finals_gate
+
+    sm = SubstitutionMatrix.blosum62()
+    NP, MP = 32, 16384
+    assert _row_block(NP, MP, TB, 1) == 8  # the premise of this test
+    assert not _use_finals_gate(mode, False, 8)
+    codes1 = RNG.integers(0, sm.n_symbols, size=(TB, NP)).astype(np.int32)
+    codes2 = RNG.integers(0, sm.n_symbols, size=(TB, MP)).astype(np.int32)
+    # final rows spread over all four row blocks
+    n = np.array([5, 8, 9, 16, 17, 24, 25, 32], dtype=np.int32)
+    m = np.array([16384, 60, 333, 16384, 1, 2048, 100, 7], dtype=np.int32)
+    S_tiled = np.asarray(
+        batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
+    )
+    tb_tiled, stats = batch.fill_pallas(
+        S_tiled, n, m, mode=mode, og=OG, eg=EG, interpret=True
+    )
+    S_dense = np.stack(
+        [sm.dense_scores(codes1[b], codes2[b]) for b in range(TB)]
+    ).astype(np.float32)
+    ref = batch.fill_scan(S_dense, n, m, mode=mode, og=OG, eg=EG)
+    for b in range(TB):
+        np.testing.assert_allclose(
+            stats[b, 3:6], np.asarray(ref.final[b]), err_msg=f"pair {b}"
+        )
+        nb, mb = int(n[b]), int(m[b])
+        ours = batch.tb_pair_view(tb_tiled, b)[:nb, :mb]
+        theirs = np.asarray(ref.tb[b])[1 : nb + 1, 1 : mb + 1]
+        np.testing.assert_array_equal(ours, theirs, err_msg=f"pair {b}")
+
+
 def test_fill_tiled_non_pow2_rows():
     """fill_tiled on an NP the budget row block does not divide (NP=24 with
     MP=8192 gives a 16-row budget block): every row must be covered."""
