@@ -106,7 +106,7 @@ def main():
 
     fill_cfgs = [
         (2048, 256), (512, 512), (128, 1024),
-    ] + ([] if args.quick else [(32, 2048)])
+    ] + ([] if args.quick else [(32, 2048), (8, 4096)])
     for B, N in fill_cfgs:
         for mode, mname in (
             (LOCAL, "local"), (GLOCAL, "glocal"), (GLOBAL, "global")
