@@ -47,7 +47,9 @@ notes.  v5e, 512 pairs of 512x512, tile=128):
     (fused max3 shift, LOCAL h0-fold elimination, ptrfast packed pointer
     cascades, detrended X-scan input on BOTH paths, xscan X pointers read
     straight off the scan, R=8 row groups, finals_gate block
-    specialization for non-LOCAL; r1 shipped 21.8 with traceback).
+    specialization for non-LOCAL — shape-gated: single-group traceback
+    blocks run ungated, see _use_finals_gate; r1 shipped 21.8 with
+    traceback).
     Non-LOCAL: ~34 traceback / ~39 score-only in both global and glocal.
   * The kernel is ISSUE-BOUND at ~1 vector op/cycle: per-row wide-op count
     x 64 vreg-issues/op x rows matches wall time within ~5%.  Op-count
