@@ -103,8 +103,12 @@ def main():
                   file=sys.stderr)
             if gbs < 300:
                 print(
-                    "# WARNING: TPU worker HBM bandwidth degraded; the GCUPS"
-                    " figure below understates the kernel by the same factor",
+                    "# NOTE: XLA-streaming HBM probe is slow in this window;"
+                    " HBM-bound *auxiliary* numbers may be affected.  The"
+                    " fill kernel itself is issue-bound, not HBM-bound"
+                    " (MEASUREMENTS_r02.md: f32 S at 4x bytes is the same"
+                    " speed; Pallas runs at full speed while XLA streaming"
+                    " is slow), so the GCUPS figure below is NOT understated.",
                     file=sys.stderr,
                 )
         except Exception as e:  # never let the probe break the benchmark

@@ -95,6 +95,9 @@ _MAX_R = int(os.environ.get("SWTPU_MAX_ROWGROUP", "8"))
 # finals_gate block specialization for non-LOCAL fills (commit 060d551);
 # env off-switch exists for perf A/Bs only (same separate-process rule)
 _FINALS_GATE = os.environ.get("SWTPU_FINALS_GATE", "1") != "0"
+# row-block VMEM budget; frozen at import like _MAX_R/_FINALS_GATE so an
+# in-process env mutation cannot silently skew A/Bs via stale jit caches
+_RB_BUDGET = int(os.environ.get("SWTPU_RB_BUDGET_KB", "1024")) << 10
 DEFAULT_TILE_PAIRS = 128  # default pairs per grid step
 NEG = -1.0e30  # large-negative fill; drift-safe (scores stay < ~1e6)
 BIGI = 2**30  # "unset" argmax sentinel (python int: kernels must not capture tracers)
@@ -111,8 +114,9 @@ def _row_block(np_pad: int, mp_pad: int, tbp: int, itemsize: int) -> int:
     covers every row; cf. the same guard in banded.fill_banded.
 
     ``SWTPU_RB_BUDGET_KB`` overrides the block budget for perf A/Bs
-    (separate processes — see the _MAX_R cache caveat above)."""
-    budget = int(os.environ.get("SWTPU_RB_BUDGET_KB", "1024")) << 10
+    (separate processes — frozen at import as _RB_BUDGET, same rule as
+    _MAX_R above)."""
+    budget = _RB_BUDGET
     rb = max(8, budget // max(1, tbp * mp_pad * itemsize))
     rb = 1 << (rb.bit_length() - 1)  # floor to power of two
     rb = min(rb, np_pad)
