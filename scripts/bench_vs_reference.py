@@ -22,10 +22,21 @@ Engines timed:
     reusing compiled programs).
 
 The Rust engines are not runnable here (no cargo/rustc in this image);
-the Java engine has no JDK.  Both are serial CPU row-major fills of the
-same recurrences, bracketed in speed by the two engines above (Perl is
-the slowest implementation, compiled Rust roughly ~50-100x the Python
-object-per-cell engine — still orders of magnitude under the TPU path).
+the Java engine has no JDK.  The reference's FASTEST engine (Rust CPU,
+sequence_alignment.rs:55-550) is therefore bounded from both sides with
+two C++ ports of its inner loop (csrc/refbench.cpp), g++ -O3:
+
+  * reference_rust_bound_cell_s — structural mirror of the Rust engine's
+    machine behavior (two heap arrays per cell like SWCell's Vecs,
+    virtual scoring-matrix dispatch, grow-only buffer reuse): a faithful
+    estimate of what the actual Rust binary would clock.
+  * reference_rust_bound_flat_s — same algorithm on flat contiguous
+    buffers with direct table indexing: a GENEROUS upper bound (strictly
+    faster than the Rust engine's pointer-chasing layout).
+
+Both C++ engines are validated string-exact against all 300 EMBOSS
+goldens before their times are recorded (this script checks local mode
+inline; tests/test_refbench_cpp.py covers all three modes).
 
 Writes one JSON array to --out (default REFBENCH.json).
 """
@@ -54,12 +65,45 @@ def load_pairs():
     return pairs
 
 
+def build_refbench():
+    """Build csrc/refbench.cpp -> _native/refbench (idempotent)."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    subprocess.run(
+        ["make", "-C", str(repo / "csrc"), "refbench"],
+        check=True, capture_output=True,
+    )
+    return repo / "smithwaterman_tpu" / "_native" / "refbench"
+
+
+def check_refbench_local_goldens(dump_dir):
+    """Inline sanity: the flat engine's local dump must be string-exact vs
+    all 100 EMBOSS goldens (full 3-mode x 2-engine coverage lives in
+    tests/test_refbench_cpp.py)."""
+    from smithwaterman_tpu.utils import oracle
+
+    lines = (dump_dir / "flat_local.txt").read_text().splitlines()
+    assert len(lines) == 300
+    for k in range(100):
+        score = float(lines[3 * k].split("score")[1])
+        a1, a2 = oracle.trim_terminal(lines[3 * k + 1], lines[3 * k + 2])
+        g = oracle.parse_emboss_dat(
+            f"{REF}/test/emboss_results/res{k}.dat"
+        )
+        assert score == g.score and (a1, a2) == (g.seq1, g.seq2), (
+            f"refbench flat/local mismatch on pair {k}"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="REFBENCH.json")
     ap.add_argument("--skip-perl", action="store_true")
     ap.add_argument("--perl-pairs", type=int, default=10,
                     help="Perl engine is very slow; time a subset and scale")
+    ap.add_argument("--modes", default="local,global,glocal",
+                    help="modes raced vs the C++ Rust-engine bounds")
     args = ap.parse_args()
 
     from smithwaterman_tpu.io.fasta import load_fasta
@@ -168,6 +212,74 @@ def main():
         1 for i, r in enumerate(res) if scores[i] != r.score
     )
     emit(metric="warm_vs_cold_score_mismatches", value=mismatch)
+
+    # ---- the reference's FASTEST engine: two-sided C++ bound ----
+    # (csrc/refbench.cpp; no Rust toolchain in this image — see module
+    # docstring.)  cell = faithful structural mirror of the Rust engine,
+    # flat = generous upper bound.  Validated vs goldens before timing.
+    import pathlib
+    import tempfile
+
+    bin_path = build_refbench()
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run(
+            [str(bin_path), f"{REF}/test", "local", "--engine", "flat",
+             "--dump", td],
+            check=True, capture_output=True, text=True, timeout=300,
+        )
+        check_refbench_local_goldens(pathlib.Path(td))
+    emit(metric="refbench_golden_check", value="flat/local string-exact vs "
+         "100 EMBOSS goldens (all 6 engine x mode sweeps: "
+         "tests/test_refbench_cpp.py)")
+
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    cpp_s = {}
+    for mode in modes:
+        for eng in ("cell", "flat"):
+            out = subprocess.run(
+                [str(bin_path), f"{REF}/test", mode, "--engine", eng,
+                 "--reps", "3"],
+                check=True, capture_output=True, text=True, timeout=600,
+            )
+            row = json.loads(out.stdout.strip().splitlines()[-1])
+            cpp_s[(eng, mode)] = row["seconds"]
+            emit(metric=f"reference_rust_bound_{eng}_s", mode=mode,
+                 value=round(row["seconds"], 3), mcups=round(row["mcups"], 1),
+                 reps="min of 3",
+                 bound=("faithful structural mirror of the Rust engine"
+                        if eng == "cell" else
+                        "generous flat-buffer upper bound"))
+
+    # ---- ours in the remaining modes (warm; full traceback) ----
+    ours_s = {"local": dt_warm}
+    from smithwaterman_tpu import GLOBAL, GLOCAL
+
+    for mode, const in (("global", GLOBAL), ("glocal", GLOCAL)):
+        if mode not in modes:
+            continue
+        bam = BatchAligner(mode=const)
+        t0 = time.time()
+        bam.align_pairs(seq_pairs)  # cold: compiles
+        dt_mcold = time.time() - t0
+        t0 = time.time()
+        resm = bam.align_pairs(shuf)
+        dt_mwarm = time.time() - t0
+        assert all(r is not None for r in resm)
+        ours_s[mode] = dt_mwarm
+        emit(metric=f"ours_{mode}_warm_s", value=round(dt_mwarm, 2),
+             cold_s=round(dt_mcold, 2), backend=backend,
+             gcups=round(cells / dt_mwarm / 1e9, 4))
+
+    for mode in modes:
+        if mode in ours_s:
+            emit(metric=f"race_{mode}",
+                 ours_warm_s=round(ours_s[mode], 2),
+                 rust_bound_cell_s=round(cpp_s[("cell", mode)], 3),
+                 rust_bound_flat_s=round(cpp_s[("flat", mode)], 3),
+                 ours_beats_faithful_bound=bool(
+                     ours_s[mode] < cpp_s[("cell", mode)]),
+                 ours_beats_generous_bound=bool(
+                     ours_s[mode] < cpp_s[("flat", mode)]))
 
     emit(
         metric="speedup_vs_reference_python",

@@ -78,7 +78,7 @@ def _lab_kernel(
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
     selmax=False, ptrfast=False, detrend=False, ptreq=False, xscan=False,
-    tb_ref=None,
+    i16store=False, tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -110,16 +110,33 @@ def _lab_kernel(
     lanef_pe = lanef * eg
     povec = og - lanef_pe - eg  # loop-invariant: og - (l+1)*eg (detrend)
 
+    if i16store:
+        # workaround (b) of the i16 attack (I16_RETEST_r03.log): f32
+        # compute, int16 x2-domain VMEM storage for the carry slabs.
+        # Exact for |2v| < 32767 (scores are half-integers); the convert
+        # pair runs once per R-row group, not per row.
+        def _ld(ref, sl):
+            return ref[sl, :].astype(jnp.float32) * 0.5
+
+        def _st(ref, sl, v):
+            ref[sl, :] = (v + v).astype(jnp.int16)
+    else:
+        def _ld(ref, sl):
+            return ref[sl, :]
+
+        def _st(ref, sl, v):
+            ref[sl, :] = v
+
     @pl.when(rb == 0)
     def _init():
         # local: so=se=0 -> lsc = 0 (pallas_dp: lsc = jf1*se + (so-se))
         full = jnp.zeros((tbp // nchain, mp), dt)
         for c in range(nchain):
             sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
-            cm[sl, :] = full + sent
-            cx[sl, :] = full
-            cy[sl, :] = full + sent
-            runbest[sl, :] = jnp.full((tbp // nchain, mp), NEGv, dt)
+            _st(cm, sl, full + sent)
+            _st(cx, sl, full)
+            _st(cy, sl, full + sent)
+            _st(runbest, sl, jnp.full((tbp // nchain, mp), NEGv, dt))
 
     def one_row(r, Mp, Xp, Yp, rbv, srow_all, coff):
         i = rb * rb_rows + r + 1
@@ -295,7 +312,8 @@ def _lab_kernel(
         states = []
         for c in range(nchain):
             sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
-            states.append([cm[sl, :], cx[sl, :], cy[sl, :], runbest[sl, :]])
+            states.append([_ld(cm, sl), _ld(cx, sl), _ld(cy, sl),
+                           _ld(runbest, sl)])
         for q in range(R):
             r = g * R + q
             srows = []
@@ -309,7 +327,10 @@ def _lab_kernel(
                 ))
         for c in range(nchain):
             sl = slice(c * (tbp // nchain), (c + 1) * (tbp // nchain))
-            cm[sl, :], cx[sl, :], cy[sl, :], runbest[sl, :] = states[c]
+            _st(cm, sl, states[c][0])
+            _st(cx, sl, states[c][1])
+            _st(cy, sl, states[c][2])
+            _st(runbest, sl, states[c][3])
         return 0
 
     assert rb_rows % R == 0 and rb_rows // R > 0, (rb_rows, R)
@@ -319,7 +340,8 @@ def _lab_kernel(
     def _finish():
         # Mosaic: no int16 reductions — widen first (once, off the hot loop)
         gmax = jnp.max(
-            runbest[:, :].astype(jnp.float32), axis=1, keepdims=True
+            _ld(runbest, slice(None)).astype(jnp.float32), axis=1,
+            keepdims=True,
         )
         # bump (an SMEM scalar fed from the previous chain iteration's
         # output) serializes back-to-back executions for honest timing
@@ -331,13 +353,14 @@ def _lab_kernel(
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
         "traceback", "rb_rows", "i16", "selmax", "ptrfast", "detrend",
-        "ptreq", "xscan", "interpret", "return_tb",
+        "ptreq", "xscan", "i16store", "interpret", "return_tb",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
     rb_rows, i16=False, selmax=False, ptrfast=False, detrend=False,
-    ptreq=False, xscan=False, interpret=False, return_tb=False,
+    ptreq=False, xscan=False, i16store=False, interpret=False,
+    return_tb=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -349,7 +372,7 @@ def lab_fill(
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
         selmax=selmax, ptrfast=ptrfast, detrend=detrend, ptreq=ptreq,
-        xscan=xscan,
+        xscan=xscan, i16store=i16store,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -367,7 +390,7 @@ def lab_fill(
     stats_shape = jax.ShapeDtypeStruct((G, tbp, 8), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, 8), lambda ib, rb: (ib, 0, 0),
                               memory_space=pltpu.VMEM)
-    sdt = jnp.int16 if i16 else jnp.float32
+    sdt = jnp.int16 if (i16 or i16store) else jnp.float32
     scratch = [
         pltpu.VMEM((tbp, MP), sdt),
         pltpu.VMEM((tbp, MP), sdt),
@@ -509,6 +532,18 @@ def main():
         "detrend-fuseR8-i8": (
             S128_i8,
             {**base_i8, "fuse_max3": True, "R": 8, "detrend": True},
+        ),
+        # workaround (b) A/B pair: f32 compute, i16 carry storage
+        "i16store-detrend-fuseR8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "detrend": True,
+             "i16store": True},
+        ),
+        "tb-xscan-i16store-R8-i8": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "i16store": True},
         ),
         "tb-ptrfast-detrend-R8-i8": (
             S128_i8,

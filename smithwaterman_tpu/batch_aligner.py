@@ -62,6 +62,7 @@ class BatchAligner:
         tile_pairs: Optional[int] = None,
         longseq_cells: int = 8192 * 4096,
         diag_scores: Optional[bool] = None,
+        device_walk: Optional[bool] = None,
     ):
         if config is None:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
@@ -80,6 +81,13 @@ class BatchAligner:
         if diag_scores is None:
             diag_scores = os.environ.get("SWTPU_DIAG_SCORES", "0") == "1"
         self.diag_scores = diag_scores
+        # on-device traceback walk (ops/device_walk.py): pointers stay on
+        # device; only O(n+m) path indices transfer.  Default ON for the
+        # plain pallas paths (the host walk + full-matrix D2H remains for
+        # device_axis and as the SWTPU_DEVICE_WALK=0 fallback).
+        if device_walk is None:
+            device_walk = os.environ.get("SWTPU_DEVICE_WALK", "1") == "1"
+        self.device_walk = device_walk
         # opt-in observability: assign a utils.metrics.StatsCollector
         self.stats = None
         self._table_is_int = batch_ops.is_integer_table(
@@ -136,8 +144,17 @@ class BatchAligner:
             bk.codes1.append(c1)
             bk.codes2.append(c2)
 
-        for bk in buckets.values():
-            self._run_bucket(bk, seqs, results, retain_all, score_only)
+        # Two-phase pipeline: dispatch every bucket's device work first
+        # (async under jax), then fetch + walk.  The reference suite is
+        # latency/D2H-bound, not fill-bound — serializing dispatch with
+        # fetch per bucket costs ~2x wall time (REFBENCH_r03.json).
+        pending = [
+            (bk, self._dispatch_bucket(bk, score_only))
+            for bk in buckets.values()
+        ]
+        for bk, pend in pending:
+            self._finish_bucket(bk, pend, seqs, results, retain_all,
+                                score_only)
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
@@ -148,7 +165,11 @@ class BatchAligner:
 
         return choose_tile(count, mp_pad)
 
-    def _run_bucket(self, bk, seqs, results, retain_all, score_only):
+    def _dispatch_bucket(self, bk, score_only):
+        """Phase 1: pack codes, launch device work.  Returns a dict the
+        finish phase consumes; device results are NOT forced to host here
+        (except on paths that are host-synchronous by construction:
+        longseq, scan, device_axis)."""
         import time as _time
 
         og, eg = self.config.og, self.config.eg
@@ -169,8 +190,7 @@ class BatchAligner:
             n[k] = len(c1)
             m[k] = len(c2)
 
-        idx_ready = None
-        get_tb = walk = None
+        pend = {"n": n, "m": m, "B": B, "t0": t_fill0, "tile": tile}
         use_longseq = (
             self.backend in ("pallas", "pallas_interpret")
             and not score_only
@@ -185,16 +205,52 @@ class BatchAligner:
                 S, n, m, mode=self.mode, og=og, eg=eg,
                 interpret=self.backend == "pallas_interpret",
             )
+            pend.update(kind="longseq", idx_ready=idx_ready, stats=stats)
+        elif (
+            self.backend in ("pallas", "pallas_interpret")
+            and self.device_axis is None
+        ):
+            pend.update(self._dispatch_pallas(
+                codes1, codes2, n, m, score_only, tile, count
+            ))
         elif self.backend in ("pallas", "pallas_interpret"):
-            tb_t, stats = self._fill_pallas(codes1, codes2, n, m, score_only, tile)
-            get_tb = lambda k: batch_ops.tb_pair_view(tb_t, k)
-            walk = traceback.walk_tiled
+            tb_t, stats = self._fill_pallas(
+                codes1, codes2, n, m, score_only, tile
+            )
+            pend.update(
+                kind="ready", stats=stats, walk=traceback.walk_tiled,
+                get_tb=lambda k: batch_ops.tb_pair_view(tb_t, k),
+            )
         else:
             tb_t, stats = self._fill_scan(codes1, codes2, n, m, score_only)
-            get_tb = lambda k: tb_t[k]
-            walk = traceback.walk
+            pend.update(
+                kind="ready", stats=stats, walk=traceback.walk,
+                get_tb=lambda k: tb_t[k],
+            )
+        return pend
 
-        t_fill = _time.time() - t_fill0
+    def _finish_bucket(self, bk, pend, seqs, results, retain_all, score_only):
+        import time as _time
+
+        count = len(bk.indices)
+        n, m, B = pend["n"], pend["m"], pend["B"]
+        idx_ready = pend.get("idx_ready")
+        walk = pend.get("walk")
+        get_tb = pend.get("get_tb")
+        stats = pend.get("stats")
+        if pend["kind"] == "pallas_async":
+            get_tb, stats = pend["pf"].fetch()
+            walk = traceback.walk_tiled
+        elif pend["kind"] == "device_walk":
+            from .ops import device_walk
+
+            bundle = np.asarray(pend["bundle"])
+            stats, o1, o2 = device_walk.decode_bundle(bundle, B, pend["L"])
+            idx_ready = [
+                device_walk.pair_path(o1, o2, k) for k in range(count)
+            ]
+
+        t_fill = _time.time() - pend["t0"]
         if self.stats is not None:
             bs = self.stats.bucket(bk.np_pad, bk.mp_pad)
             bs.pairs += count
@@ -295,6 +351,60 @@ class BatchAligner:
             interpret=self.backend == "pallas_interpret",
             masked_s=masked_s,
         )
+
+    def _dispatch_pallas(self, codes1, codes2, n, m, score_only, tile,
+                         count):
+        """Dispatch-only pallas path (device_axis is None).  Returns the
+        pend-dict fields: either a PendingFill transfer plan (score-only /
+        host-walk fallback) or an on-device walk bundle (default for
+        traceback: the pointer matrix never crosses to the host)."""
+        import jax.numpy as jnp
+
+        masked_s = self.mode == LOCAL and bool(
+            np.all(np.asarray(n) >= 1) and np.all(np.asarray(m) >= 1)
+        )
+        S = self._scores(
+            codes1, codes2, tile,
+            n=n if masked_s else None, m=m if masked_s else None,
+        )
+        interp = self.backend == "pallas_interpret"
+        if self.diag_scores and score_only:
+            from .ops import diag_dp
+
+            if diag_dp.eligible(
+                mode=self.mode, og=self.config.og, eg=self.config.eg,
+                np_pad=codes1.shape[1], mp_pad=codes2.shape[1], tbp=tile,
+                score_only=score_only, masked_s=masked_s,
+            ):
+                stats = batch_ops.fill_diag(
+                    S, og=self.config.og, eg=self.config.eg, interpret=interp,
+                )
+                return {
+                    "kind": "pallas_async",
+                    "pf": batch_ops.PendingFill(
+                        None, stats, tile, count, stats.shape[0]
+                    ),
+                }
+        if not score_only and self.device_walk:
+            from .ops import device_walk
+
+            tb, stats = batch_ops.fill_pallas_dev(
+                S, n, m, mode=self.mode, og=self.config.og,
+                eg=self.config.eg, score_only=False, interpret=interp,
+                masked_s=masked_s,
+            )
+            L = codes1.shape[1] + codes2.shape[1] + 2
+            bundle = device_walk.walk_bundle(
+                tb, stats, jnp.asarray(n, jnp.int32),
+                jnp.asarray(m, jnp.int32), mode=self.mode, L=L,
+            )
+            return {"kind": "device_walk", "bundle": bundle, "L": L}
+        pf = batch_ops.fill_pallas_async(
+            S, n, m, mode=self.mode, og=self.config.og, eg=self.config.eg,
+            count=count, score_only=score_only, interpret=interp,
+            masked_s=masked_s,
+        )
+        return {"kind": "pallas_async", "pf": pf}
 
     def _fill_scan(self, codes1, codes2, n, m, score_only):
         """vmapped scan fallback; returns (tb (B, NP+1, MP+1), stats (B, 8))."""

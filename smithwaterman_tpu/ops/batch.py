@@ -159,6 +159,107 @@ def fill_pallas(
     return np.asarray(tb), stats_np
 
 
+class PendingFill:
+    """A dispatched-but-not-fetched kernel run (see fill_pallas_async).
+
+    ``pieces`` are DEVICE arrays jointly covering pairs [0, count): the
+    full tile groups, plus (if count is not a tile multiple) the used
+    sublanes of the last group.  ``fetch()`` forces the device->host
+    copies and returns ``(get_tb, stats (B, 8))`` where ``get_tb(k)``
+    yields the (max_n, max_m) pointer view of pair ``k``.
+    """
+
+    def __init__(self, pieces, stats_dev, tile, count, B, gf=0):
+        self.pieces = pieces
+        self.stats_dev = stats_dev
+        self.tile = tile
+        self.count = count
+        self.B = B
+        self.gf = gf  # number of FULL tile groups in pieces[0]
+
+    def fetch(self):
+        stats = np.asarray(self.stats_dev).reshape(self.B, pallas_dp.STATS_W)
+        if self.pieces is None:  # score-only
+            return None, stats
+        host = [np.asarray(p) for p in self.pieces]
+        gf, tile = self.gf, self.tile
+
+        def get_tb(k):
+            g, t = divmod(k, tile)
+            if g < gf:
+                return host[0][g, :, t, :]
+            return host[-1][0, :, t, :]
+
+        return get_tb, stats
+
+
+def fill_pallas_dev(
+    S_tiled,
+    n: np.ndarray,
+    m: np.ndarray,
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    score_only: bool = False,
+    interpret: bool = False,
+    masked_s: bool = False,
+):
+    """Dispatch the kernel only; returns DEVICE arrays (tb, stats) with no
+    device->host copy."""
+    G, NP, tile, MP = S_tiled.shape
+    n = np.asarray(n)
+    m = np.asarray(m)
+    nt = jnp.asarray(n.reshape(G, tile, 1), jnp.int32)
+    mt = jnp.asarray(m.reshape(G, tile, 1), jnp.int32)
+    return pallas_dp.fill_tiled(
+        S_tiled, nt, mt, mode=mode, og=float(og), eg=float(eg),
+        score_only=score_only, interpret=interpret, masked_s=masked_s,
+    )
+
+
+def fill_pallas_async(
+    S_tiled,
+    n: np.ndarray,
+    m: np.ndarray,
+    *,
+    mode: int,
+    og: float,
+    eg: float,
+    count: int,
+    score_only: bool = False,
+    interpret: bool = False,
+    masked_s: bool = False,
+) -> PendingFill:
+    """Dispatch the kernel and the on-device transfer slicing WITHOUT
+    forcing a device->host copy, so many buckets can be in flight at once
+    (the 100-pair suite is latency/D2H-bound, not fill-bound: REFBENCH).
+
+    Unlike ``fill_pallas``, the transfer plan also drops the PADDING PAIRS:
+    only ``count`` real pairs come back — full tile groups wholesale, plus
+    the used sublanes (rounded to 8) of a trailing partial group.
+    """
+    G, NP, tile, MP = S_tiled.shape
+    n = np.asarray(n)
+    m = np.asarray(m)
+    tb, stats = fill_pallas_dev(
+        S_tiled, n, m, mode=mode, og=og, eg=eg,
+        score_only=score_only, interpret=interpret, masked_s=masked_s,
+    )
+    if tb is None:
+        return PendingFill(None, stats, tile, count, G * tile)
+    max_n = min(NP, -(-int(n[:count].max()) // 8) * 8)
+    max_m = min(MP, -(-int(m[:count].max()) // 128) * 128)
+    gf, rem = divmod(count, tile)
+    pieces = []
+    if gf:
+        pieces.append(tb[:gf, :max_n, :, :max_m])
+    if rem:
+        rem8 = min(tile, -(-rem // 8) * 8)
+        pieces.append(tb[gf:gf + 1, :max_n, :rem8, :max_m])
+    return PendingFill(pieces, stats, tile, count, G * tile, gf=gf)
+
+
 _scan_batch = jax.jit(
     jax.vmap(scan_dp.fill, in_axes=(0, 0, 0, None, None, None, None)),
     static_argnums=(5, 6),

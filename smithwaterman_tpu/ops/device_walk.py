@@ -1,0 +1,139 @@
+"""On-device traceback walk: pointers never leave the device.
+
+The host walk (ops/traceback.py + csrc/traceback.cpp) needs the packed
+pointer matrix on the host — a device->host copy of NP*MP bytes per pair.
+Over this environment's tunnel (and over PCIe on real hosts) that copy
+dominates suite wall time: the 100-pair reference suite spends ~5 s moving
+~80 MB of pointers for walks that touch O(n+m) of them (REFBENCH_r03).
+
+This module walks the pointers ON DEVICE instead, all pairs of a bucket in
+lockstep inside one ``lax.while_loop``, and ships back only the bundled
+result: per-pair aligned-index paths (O(n+m) int32) plus the stats block —
+ONE device->host array per bucket.  The reference's GPU engine makes the
+same call: its traceback kernel walks flags on device and reads back just
+the index arrays (opencl_sequence_alignment.rs:180-322, :765-795).
+
+Semantics are bit-identical to ops/traceback.walk_tiled (itself cited to
+sequence_alignment.rs:349-386): interior pointers from the tiled uint8
+array (cell (i,j) at tb[i-1, j-1]), closed-form boundary pointers, the
+normalize_boundary_state og==eg==0 rule, local STOP-at-zero, and the
+first-max final-state tie for global/glocal (np.argmax parity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CELL_GAPINX, CELL_GAPINY, CELL_MATCH, CELL_STOP, LOCAL
+
+SENTINEL = -3  # path rows past a pair's end (distinct from -1 = gap)
+
+
+def bundle_len(B: int, L: int) -> int:
+    return 8 * B + 2 * L * B
+
+
+@partial(jax.jit, static_argnames=("mode", "L"))
+def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
+    """Walk every pair of a bucket on device.
+
+    Args:
+      tb:    (G, NP, T, MP) uint8 tiled interior pointers (pallas layout).
+      stats: (G, T, 8) f32 kernel stats (best, best_i, best_j, finals...).
+      n, m:  (B,) int32 true lengths (B = G*T).
+      mode:  alignment mode (static).
+      L:     max path length (static; use NP + MP + 2).
+
+    Returns: (8*B + 2*L*B,) int32 bundle: [stats bitcast f32->i32 (B*8),
+      idx1 (L*B), idx2 (L*B)], idx rows in walk order (host reverses),
+      SENTINEL past each pair's path end.
+    """
+    G, NP, T, MP = tb.shape
+    B = G * T
+    local = mode == LOCAL
+    flat = tb.reshape(-1)
+    st = stats.reshape(B, stats.shape[-1])
+    g = jnp.arange(B, dtype=jnp.int32) // T
+    t = jnp.arange(B, dtype=jnp.int32) % T
+
+    if local:
+        i0 = st[:, 1].astype(jnp.int32)
+        j0 = st[:, 2].astype(jnp.int32)
+        s0 = jnp.full((B,), CELL_MATCH, jnp.int32)
+        done0 = st[:, 0] <= 0.0  # nothing aligned (rs:346-348)
+        i0 = jnp.where(done0, 0, i0)
+        j0 = jnp.where(done0, 0, j0)
+    else:
+        i0 = n.astype(jnp.int32)
+        j0 = m.astype(jnp.int32)
+        s0 = jnp.argmax(st[:, 3:6], axis=1).astype(jnp.int32)  # first max
+        done0 = jnp.zeros((B,), bool)
+
+    out1 = jnp.full((L, B), SENTINEL, jnp.int32)
+    out2 = jnp.full((L, B), SENTINEL, jnp.int32)
+
+    def cond(c):
+        step, done = c[0], c[4]
+        return (step < L) & jnp.any(~done)
+
+    def body(c):
+        step, i, j, s, done, o1, o2 = c
+        # normalize_boundary_state (ops/traceback.py:233-249)
+        s = jnp.where((j == 0) & (i > 0), CELL_GAPINY,
+                      jnp.where((i == 0) & (j > 0), CELL_GAPINX, s))
+        interior = (i >= 1) & (j >= 1)
+        ii = jnp.clip(i - 1, 0, NP - 1)
+        jj = jnp.clip(j - 1, 0, MP - 1)
+        ptr = flat[((g * NP + ii) * T + t) * MP + jj].astype(jnp.int32)
+        prev_in = (ptr >> (2 * s)) & 3
+        # _boundary_prev closed form (ops/traceback.py:215-230)
+        origin = (i == 0) & (j == 0)
+        row0 = (i == 0) & (j > 0)
+        bstate = jnp.where(origin, CELL_MATCH,
+                           jnp.where(row0, CELL_GAPINX, CELL_GAPINY))
+        bprev = jnp.where(local & (s == bstate), CELL_STOP, bstate)
+        prev = jnp.where(interior, prev_in, bprev)
+        stop = local & (prev == CELL_STOP)
+        emit = (~done) & (~stop)
+        r1 = jnp.where(s == CELL_GAPINX, -1, i - 1)
+        r2 = jnp.where(s == CELL_GAPINY, -1, j - 1)
+        o1 = jax.lax.dynamic_update_index_in_dim(
+            o1, jnp.where(emit, r1, SENTINEL), step, 0)
+        o2 = jax.lax.dynamic_update_index_in_dim(
+            o2, jnp.where(emit, r2, SENTINEL), step, 0)
+        ni = jnp.where(emit & (s != CELL_GAPINX), i - 1, i)
+        nj = jnp.where(emit & (s != CELL_GAPINY), j - 1, j)
+        ns = jnp.where(emit, prev, s)
+        ndone = done | stop | ((ni == 0) & (nj == 0))
+        return step + 1, ni, nj, ns, ndone, o1, o2
+
+    _, _, _, _, _, out1, out2 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, s0, done0, out1, out2)
+    )
+    sbits = jax.lax.bitcast_convert_type(
+        st[:, :8].astype(jnp.float32), jnp.int32
+    ).reshape(-1)
+    return jnp.concatenate([sbits, out1.reshape(-1), out2.reshape(-1)])
+
+
+def decode_bundle(
+    bundle: np.ndarray, B: int, L: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split a fetched bundle into (stats (B, 8) f32, idx1 (L, B), idx2)."""
+    stats = bundle[: 8 * B].view(np.float32).reshape(B, 8)
+    idx1 = bundle[8 * B: 8 * B + L * B].reshape(L, B)
+    idx2 = bundle[8 * B + L * B:].reshape(L, B)
+    return stats, idx1, idx2
+
+
+def pair_path(idx1: np.ndarray, idx2: np.ndarray, k: int):
+    """Per-pair aligned index lists (left-to-right) from decoded columns."""
+    c1 = idx1[:, k]
+    ends = np.nonzero(c1 == SENTINEL)[0]
+    cnt = int(ends[0]) if ends.size else c1.shape[0]
+    return c1[:cnt][::-1].tolist(), idx2[:cnt, k][::-1].tolist()

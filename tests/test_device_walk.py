@@ -1,0 +1,87 @@
+"""On-device traceback walk (ops/device_walk.py) parity.
+
+The device walk must be bit-identical to the host walk
+(ops/traceback.walk_tiled, cited to sequence_alignment.rs:349-386) in all
+three modes, including the local nothing-aligned case and the og=eg=0
+boundary normalization.
+"""
+
+import numpy as np
+import pytest
+
+import smithwaterman_tpu as swt
+from smithwaterman_tpu.ops import device_walk
+
+LETTERS = "ARNDCQEGHILKMFPSTWYVBZX"
+
+
+def _rand_pairs(rng, n_pairs, lo=3, hi=150):
+    def rseq(n):
+        return "".join(rng.choice(list(LETTERS), n))
+
+    return [
+        (rseq(rng.integers(lo, hi)), rseq(rng.integers(lo, hi)))
+        for _ in range(n_pairs)
+    ]
+
+
+@pytest.mark.parametrize("mode", [swt.LOCAL, swt.GLOBAL, swt.GLOCAL])
+def test_device_walk_matches_host_walk(mode):
+    rng = np.random.default_rng(mode + 7)
+    pairs = _rand_pairs(rng, 11)
+    pairs.append(("AAAA", "WWWW"))  # local: nothing aligns (score 0)
+    dev = swt.BatchAligner(
+        mode=mode, backend="pallas_interpret", device_walk=True
+    ).align_pairs(pairs)
+    host = swt.BatchAligner(
+        mode=mode, backend="pallas_interpret", device_walk=False
+    ).align_pairs(pairs)
+    for d, h in zip(dev, host):
+        assert (d.aligned1, d.aligned2, d.score) == (
+            h.aligned1, h.aligned2, h.score)
+
+
+def test_device_walk_zero_penalties_boundary_rule():
+    # og = eg = 0 exercises normalize_boundary_state (the reference
+    # crashes here; we walk the boundary gap chain — PARITY.md deviation)
+    rng = np.random.default_rng(3)
+    pairs = _rand_pairs(rng, 6, lo=2, hi=40)
+    for mode in (swt.LOCAL, swt.GLOBAL, swt.GLOCAL):
+        dev = swt.BatchAligner(
+            mode=mode, gap_open=0.0, gap_extend=0.0,
+            backend="pallas_interpret", device_walk=True,
+        ).align_pairs(pairs)
+        host = swt.BatchAligner(
+            mode=mode, gap_open=0.0, gap_extend=0.0,
+            backend="pallas_interpret", device_walk=False,
+        ).align_pairs(pairs)
+        for d, h in zip(dev, host):
+            assert (d.aligned1, d.aligned2, d.score) == (
+                h.aligned1, h.aligned2, h.score)
+
+
+def test_device_walk_score_only_unaffected():
+    rng = np.random.default_rng(5)
+    pairs = _rand_pairs(rng, 5)
+    ba = swt.BatchAligner(backend="pallas_interpret", device_walk=True)
+    s = ba.score_pairs(pairs)
+    ref = swt.BatchAligner(backend="scan").score_pairs(pairs)
+    np.testing.assert_array_equal(s, ref)
+
+
+def test_decode_bundle_roundtrip():
+    B, L = 4, 10
+    stats = np.arange(B * 8, dtype=np.float32).reshape(B, 8)
+    i1 = np.full((L, B), device_walk.SENTINEL, np.int32)
+    i2 = np.full((L, B), device_walk.SENTINEL, np.int32)
+    i1[:3, 1] = [5, -1, 4]
+    i2[:3, 1] = [7, 6, -1]
+    bundle = np.concatenate(
+        [stats.view(np.int32).reshape(-1), i1.reshape(-1), i2.reshape(-1)]
+    )
+    s2, o1, o2 = device_walk.decode_bundle(bundle, B, L)
+    np.testing.assert_array_equal(s2, stats)
+    a, b = device_walk.pair_path(o1, o2, 1)
+    assert a == [4, -1, 5] and b == [-1, 6, 7]
+    a, b = device_walk.pair_path(o1, o2, 0)
+    assert a == [] and b == []
