@@ -36,6 +36,20 @@ from .ops import traceback
 
 
 
+def _pow2_chunks(G: int, cap: int = 8) -> List[int]:
+    """Split G tile groups into power-of-two chunk sizes <= cap (largest
+    first), so kernel programs (shape-specialized on G) are reused across
+    arbitrary batch sizes: at most log2(cap)+1 programs per bucket."""
+    out: List[int] = []
+    c = cap
+    while G:
+        while c > G:
+            c //= 2
+        out.append(c)
+        G -= c
+    return out
+
+
 def default_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "scan"
 
@@ -60,7 +74,7 @@ class BatchAligner:
         backend: Optional[str] = None,
         device_axis=None,
         tile_pairs: Optional[int] = None,
-        longseq_cells: int = 8192 * 4096,
+        longseq_cells: Optional[int] = None,
         diag_scores: Optional[bool] = None,
         device_walk: Optional[bool] = None,
     ):
@@ -72,8 +86,10 @@ class BatchAligner:
         self.device_axis = device_axis  # parallel.DataParallel or None
         self.tile_pairs = tile_pairs
         # buckets with >= this many padded cells use the checkpointed-fill +
-        # banded-traceback path (ops/longseq.py) instead of streaming the
-        # full pointer matrix to host
+        # banded-traceback path (ops/longseq.py).  None = auto: under the
+        # device walk, longseq only engages past the pointer-HBM budget
+        # (the host-transfer cost it was built to dodge is gone); an
+        # explicit value forces the cell threshold regardless.
         self.longseq_cells = longseq_cells
         # wavefront (anti-diagonal) kernel for LOCAL score-only buckets
         # (ops/diag_dp.py); None -> SWTPU_DIAG_SCORES env (default off until
@@ -88,6 +104,11 @@ class BatchAligner:
         if device_walk is None:
             device_walk = os.environ.get("SWTPU_DEVICE_WALK", "1") == "1"
         self.device_walk = device_walk
+        # HBM budget for resident pointer matrices (device-walk route);
+        # beyond it, buckets fall back to longseq checkpoint+refill.
+        self.tb_hbm_bytes = int(
+            os.environ.get("SWTPU_TB_HBM_BYTES", str(2 << 30))
+        )
         # opt-in observability: assign a utils.metrics.StatsCollector
         self.stats = None
         self._table_is_int = batch_ops.is_integer_table(
@@ -191,11 +212,25 @@ class BatchAligner:
             m[k] = len(c2)
 
         pend = {"n": n, "m": m, "B": B, "t0": t_fill0, "tile": tile}
+        # Long-sequence routing.  With the on-device walk the pointer
+        # matrix never crosses to the host, so the only reason to pay
+        # checkpoint+refill (2x fill compute) is DEVICE memory: route to
+        # longseq only when the allocated pointer array would blow the HBM
+        # budget.  Without the device walk (host-walk fallback) the old
+        # per-pair cell threshold still applies — there the cost being
+        # dodged is the O(n*m) device->host pointer transfer.
+        tb_bytes = bk.np_pad * B * bk.mp_pad  # uint8 pointers
+        if self.longseq_cells is not None:
+            too_big = bk.np_pad * bk.mp_pad >= self.longseq_cells
+        elif self.device_walk:
+            too_big = tb_bytes > self.tb_hbm_bytes
+        else:
+            too_big = bk.np_pad * bk.mp_pad >= 8192 * 4096
         use_longseq = (
             self.backend in ("pallas", "pallas_interpret")
             and not score_only
             and self.device_axis is None
-            and bk.np_pad * bk.mp_pad >= self.longseq_cells
+            and too_big
         )
         if use_longseq:
             from .ops import longseq
@@ -245,10 +280,46 @@ class BatchAligner:
             from .ops import device_walk
 
             bundle = np.asarray(pend["bundle"])
-            stats, o1, o2 = device_walk.decode_bundle(bundle, B, pend["L"])
+            stats, o1, o2 = device_walk.decode_bundle(
+                bundle, pend.get("Bp", B), pend["L"]
+            )
             idx_ready = [
                 device_walk.pair_path(o1, o2, k) for k in range(count)
             ]
+        elif pend["kind"] == "multi":
+            # power-of-two G chunks (see _dispatch_pallas): resolve each
+            # part, then stitch per-pair views back together
+            from .ops import device_walk
+
+            stats_parts = []
+            idx_parts: Optional[list] = []
+            tb_parts = []
+            for cnt, part in pend["parts"]:
+                if part["kind"] == "device_walk":
+                    bundle = np.asarray(part["bundle"])
+                    st, o1, o2 = device_walk.decode_bundle(
+                        bundle, part["Bp"], part["L"]
+                    )
+                    stats_parts.append(st[:cnt])
+                    idx_parts.extend(
+                        device_walk.pair_path(o1, o2, k)
+                        for k in range(cnt)
+                    )
+                else:  # pallas_async
+                    gt, st = part["pf"].fetch()
+                    stats_parts.append(st[:cnt])
+                    idx_parts = None
+                    tb_parts.append((cnt, gt))
+            stats = np.concatenate(stats_parts, axis=0)
+            if idx_parts is not None:
+                idx_ready = idx_parts
+            elif tb_parts:
+                walk = traceback.walk_tiled
+                offsets = np.cumsum([0] + [c for c, _ in tb_parts])
+
+                def get_tb(k, _parts=tb_parts, _off=offsets):
+                    p = int(np.searchsorted(_off, k, side="right")) - 1
+                    return _parts[p][1](k - int(_off[p]))
 
         t_fill = _time.time() - pend["t0"]
         if self.stats is not None:
@@ -354,10 +425,40 @@ class BatchAligner:
 
     def _dispatch_pallas(self, codes1, codes2, n, m, score_only, tile,
                          count):
-        """Dispatch-only pallas path (device_axis is None).  Returns the
-        pend-dict fields: either a PendingFill transfer plan (score-only /
-        host-walk fallback) or an on-device walk bundle (default for
-        traceback: the pointer matrix never crosses to the host)."""
+        """Dispatch-only pallas path (device_axis is None).
+
+        Buckets wider than one tile group are split into power-of-two
+        group chunks (8, 4, 2, 1): kernel programs are specialized on the
+        leading G axis, so unchunked large batches compile a NEW program
+        per distinct pair count — the 3200-pair suite spent 3 minutes
+        compiling G=25 shapes it will never see again (REFBENCH_r03).
+        Chunking bounds compiles at four programs per (bucket, mode) and
+        streams arbitrary batch sizes through them; chunks dispatch
+        back-to-back and stay async like everything else here.
+        """
+        G = codes1.shape[0] // tile
+        if G > 1:
+            parts = []
+            g0 = 0
+            for gc in _pow2_chunks(G, cap=8):
+                lo, hi = g0 * tile, (g0 + gc) * tile
+                cnt = max(0, min(count, hi) - lo)
+                parts.append((cnt, self._dispatch_pallas_one(
+                    codes1[lo:hi], codes2[lo:hi], n[lo:hi], m[lo:hi],
+                    score_only, tile, cnt,
+                )))
+                g0 += gc
+            return {"kind": "multi", "parts": parts}
+        return self._dispatch_pallas_one(
+            codes1, codes2, n, m, score_only, tile, count
+        )
+
+    def _dispatch_pallas_one(self, codes1, codes2, n, m, score_only, tile,
+                             count):
+        """Dispatch one G-chunk.  Returns the pend-dict fields: either a
+        PendingFill transfer plan (score-only / host-walk fallback) or an
+        on-device walk bundle (default for traceback: the pointer matrix
+        never crosses to the host)."""
         import jax.numpy as jnp
 
         masked_s = self.mode == LOCAL and bool(
@@ -398,7 +499,8 @@ class BatchAligner:
                 tb, stats, jnp.asarray(n, jnp.int32),
                 jnp.asarray(m, jnp.int32), mode=self.mode, L=L,
             )
-            return {"kind": "device_walk", "bundle": bundle, "L": L}
+            return {"kind": "device_walk", "bundle": bundle, "L": L,
+                    "Bp": codes1.shape[0]}
         pf = batch_ops.fill_pallas_async(
             S, n, m, mode=self.mode, og=self.config.og, eg=self.config.eg,
             count=count, score_only=score_only, interpret=interp,

@@ -602,6 +602,191 @@ def _block_pallas_call_folded(
     return outs
 
 
+def _make_grid_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf,
+                             C, track_arg):
+    """Single-device (D == 1) folded fill as ONE pallas grid call.
+
+    The multi-device wavefront needs an XLA-level scan so edge carries
+    can ppermute between devices after every block; on one device that
+    scan only adds overhead — per step it dynamic-slices a (K, 8, Wf)
+    S block (16 MB at 2048x65536), reshapes five carry slabs
+    (1, W) <-> (8, Wf) and where-selects them, all on the XLA streaming
+    path (~1 ms/step here vs ~0.1 ms of kernel compute,
+    BENCH_SUITE_r02).  This variant is the ops/pallas_dp.fill_tiled
+    architecture instead: grid over row blocks, S blocks DMA'd by
+    BlockSpec (overlapped by the pallas pipeline), carries resident in
+    VMEM scratch, running best / acc resident in revisited output
+    blocks.  Cell rules are the shared _row_cells — bit-identical to
+    the scan path by construction (tests/test_seq_tiled.py).
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        it = iter(refs)
+        n_ref = next(it)      # (1, 1) i32
+        m_ref = next(it)
+        s_ref = next(it)      # (K, 8, Wf) f32 — this block's folded rows
+        orb_ref = next(it)    # (8, Wf) f32 running best (revisited)
+        orbi_ref = next(it)   # (8, Wf) i32 running best row (revisited)
+        oacc_ref = next(it)   # (1, 4) f32 final-cell accumulator
+        if C:
+            ckm_ref = next(it)  # (1, 8, Wf) checkpoint block
+            ckx_ref = next(it)
+            cky_ref = next(it)
+        cm_s = next(it)       # scratch (8, Wf) f32 carries
+        cx_s = next(it)
+        cy_s = next(it)
+
+        k = pl.program_id(0)
+        i_start = k * K
+        nvec = n_ref[:, :]
+        mvec = m_ref[:, :]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, Wf), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, Wf), 1)
+        jg = sub * Wf + lane + 1  # global column (col0 = 0: one device)
+        jgf = jg.astype(jnp.float32)
+        valid_j = jg <= mvec
+
+        def lscf(i):
+            return i.astype(jnp.float32) * se + (so - se)
+
+        def closed_edge(i):
+            li = jnp.broadcast_to(lscf(i), (1, 1))
+            return (li + sent, li + sent, li,
+                    jnp.full((1, 1), NEG, jnp.float32))
+
+        def closed_above(i):
+            li = jnp.broadcast_to(lscf(i), (1, 1))
+            at0 = i == 0
+            return (
+                jnp.where(at0, 0.0, li + sent),
+                jnp.where(at0, -1.0, li + sent),
+                jnp.where(at0, -1.0, li),
+            )
+
+        @pl.when(k == 0)
+        def _init():
+            # row-0 carries, closed form (rs:100-108)
+            l0 = lscf(jg)
+            cm_s[:, :] = l0 + sent
+            cx_s[:, :] = l0
+            cy_s[:, :] = l0 + sent
+            orb_ref[:, :] = jnp.full((8, Wf), NEG, jnp.float32)
+            orbi_ref[:, :] = jnp.full((8, Wf), BIGI, jnp.int32)
+            oacc_ref[:, :] = jnp.zeros((1, 4), jnp.float32)
+
+        def body(q, st):
+            cm, cx, cy, rb, rbi, acc = st
+            i = i_start + q + 1
+            ebm, ebx, eby, ebc = closed_edge(i)
+            abm, abx, aby = closed_above(i - 1)
+            vm, vx, vy, _, _ = _row_cells(
+                mode, og, eg, so, se, sent, i, jg, jgf,
+                s_ref[q], cm, cx, cy,
+                ebm, ebx, eby, ebc, abm, abx, aby,
+                nvec, mvec, False,
+                cummax_fn=_fold_cummax,
+                shift_fn=_fold_shift_right,
+            )
+            if mode == LOCAL:
+                masked = jnp.where(valid_j & (i <= nvec), vm, NEG)
+                if track_arg:
+                    upd = masked > rb  # strict: first (smallest) i wins
+                    rb = jnp.where(upd, masked, rb)
+                    rbi = jnp.where(upd, i, rbi)
+                else:
+                    rb = jnp.maximum(rb, masked)
+            else:
+                take = (i == nvec) & (jg == mvec)
+                lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+                sm_ = jnp.sum(jnp.where(take, vm, 0.0)).reshape(1, 1)
+                sx_ = jnp.sum(jnp.where(take, vx, 0.0)).reshape(1, 1)
+                sy_ = jnp.sum(jnp.where(take, vy, 0.0)).reshape(1, 1)
+                acc = acc + jnp.where(
+                    lane4 == 0, sm_,
+                    jnp.where(lane4 == 1, sx_,
+                              jnp.where(lane4 == 2, sy_,
+                                        jnp.zeros((1, 1), jnp.float32))),
+                )
+            return (vm, vx, vy, rb, rbi, acc)
+
+        st0 = (cm_s[:, :], cx_s[:, :], cy_s[:, :],
+               orb_ref[:, :], orbi_ref[:, :], oacc_ref[:, :])
+        cm, cx, cy, rb, rbi, acc = jax.lax.fori_loop(
+            0, K, body, st0, unroll=False
+        )
+        cm_s[:, :] = cm
+        cx_s[:, :] = cx
+        cy_s[:, :] = cy
+        orb_ref[:, :] = rb
+        orbi_ref[:, :] = rbi
+        oacc_ref[:, :] = acc
+        if C:
+            @pl.when(((k + 1) * K) % C == 0)
+            def _ck():
+                ckm_ref[0] = cm
+                ckx_ref[0] = cx
+                cky_ref[0] = cy
+
+    return kernel
+
+
+def _fold_grid_fill(
+    S_f, nv2, mv2, *, mode, og, eg, so, se, sent, K, Wf, NP,
+    C=None, track_arg=False, interpret=False,
+):
+    """Run the D == 1 folded grid kernel.  Returns (rb (8, Wf) f32,
+    rbi (8, Wf) i32, acc (1, 4) f32[, ckm, ckx, cky (NCK, 8, Wf)])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB = NP // K
+    NCK = (NP // C) if C else 0
+    kernel = _make_grid_kernel_folded(
+        mode=mode, og=og, eg=eg, so=so, se=se, sent=sent, K=K, Wf=Wf,
+        C=C, track_arg=track_arg,
+    )
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda k: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda k: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((K, 8, Wf), lambda k: (k, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, Wf), jnp.float32),
+        jax.ShapeDtypeStruct((8, Wf), jnp.int32),
+        jax.ShapeDtypeStruct((1, 4), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((8, Wf), lambda k: (0, 0)),
+        pl.BlockSpec((8, Wf), lambda k: (0, 0)),
+        pl.BlockSpec((1, 4), lambda k: (0, 0)),
+    ]
+    if C:
+        # checkpoint block index advances when a segment closes; the
+        # write itself is pl.when-gated to the closing step, so each
+        # block is set exactly once before it flushes (C % K == 0)
+        ck_idx = lambda k: (jnp.clip((k + 1) * K // C - 1, 0, NCK - 1),
+                            0, 0)
+        for _ in range(3):
+            out_shape.append(
+                jax.ShapeDtypeStruct((NCK, 8, Wf), jnp.float32)
+            )
+            out_specs.append(pl.BlockSpec((1, 8, Wf), ck_idx))
+    return pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((8, Wf), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=96 << 20,
+        ),
+        interpret=interpret,
+    )(nv2, mv2, S_f)
+
+
 def _block_pallas_call(
     kernel, *, B, K, W, emit_tb, interpret,
     scal, nv2, mv2, Sblk, inbox, above, cm, cx, cy, rb, rbi, acc,
@@ -675,6 +860,66 @@ def _build_local_fill(
     else:
         so, se = 0.0, 0.0
     sent = 10.0 * og + 10.0 * eg
+
+    # D == 1 fast path: the whole fill as one pallas grid call (no
+    # XLA-level block scan; see _make_grid_kernel_folded).  Same fold
+    # eligibility as below, plus grid-expressible checkpoint cadence.
+    grid_path = (
+        rows_impl == "pallas" and D == 1 and B == 1 and not seeded
+        and not emit_tb and K % 8 == 0 and W % (8 * FOLD_LANE) == 0
+        and W >= FOLD_MIN_W
+        and (not C or (C % K == 0 and NP % C == 0))
+    )
+
+    def grid_fill(S_l, n_g, m_g):
+        Wf = W // 8
+        S_f = S_l.reshape(NP, 8, Wf)
+        nv2 = n_g.reshape(1, 1).astype(jnp.int32)
+        mv2 = m_g.reshape(1, 1).astype(jnp.int32)
+        res = _fold_grid_fill(
+            S_f, nv2, mv2, mode=mode, og=og, eg=eg, so=so, se=se,
+            sent=sent, K=K, Wf=Wf, NP=NP, C=C, track_arg=track_arg,
+            interpret=interpret,
+        )
+        rb, rbi, acc = res[0], res[1], res[2]
+        outs = []
+        if mode == LOCAL:
+            rbf = rb.reshape(B, W)
+            if track_arg:
+                rbif = rbi.reshape(B, W)
+                jgr = jnp.arange(1, W + 1, dtype=jnp.int32)
+                gmax = jnp.max(rbf, axis=1)
+                cand = rbf == gmax[:, None]
+                ci = jnp.where(cand, rbif, BIGI)
+                min_i = jnp.min(ci, axis=1)
+                cj = jnp.where(
+                    cand & (rbif == min_i[:, None]), jgr[None, :], BIGI
+                )
+                min_j = jnp.min(cj, axis=1)
+                stats = jnp.stack(
+                    [gmax, min_i.astype(jnp.float32),
+                     min_j.astype(jnp.float32)]
+                    + [jnp.zeros((B,), jnp.float32)] * 5,
+                    axis=1,
+                )
+                outs.append(stats)
+            else:
+                outs.append(jnp.max(rbf, axis=1))
+        else:
+            fin = jnp.broadcast_to(acc[:, :3], (B, 3))
+            if track_arg:
+                zeros = jnp.zeros((B, 3), jnp.float32)
+                outs.append(jnp.concatenate(
+                    [zeros, fin, jnp.zeros((B, 2), jnp.float32)], axis=1
+                ))
+            else:
+                outs.append(fin)
+        if C:
+            outs.extend(r.reshape(B, NCK, W) for r in res[3:6])
+        return tuple(outs) if len(outs) > 1 else outs[0]
+
+    if grid_path:
+        return grid_fill
 
     def local_fill(S_l, n_g, m_g, *rest):
         if seeded:

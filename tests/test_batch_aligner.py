@@ -141,3 +141,31 @@ def test_sharded_mesh_glocal_and_scores():
         assert (r.score, r.aligned1, r.aligned2) == (w.score, w.aligned1, w.aligned2)
     scores = ba.score_pairs(pairs)
     np.testing.assert_allclose(scores, [r.score for r in got])
+
+
+def test_pow2_group_chunking_matches_scan():
+    """Buckets spanning multiple tile groups stream through power-of-two
+    G chunks (compile-count bound); results identical to the scan path."""
+    from smithwaterman_tpu.batch_aligner import _pow2_chunks
+
+    assert _pow2_chunks(1) == [1]
+    assert _pow2_chunks(3) == [2, 1]
+    assert _pow2_chunks(25) == [8, 8, 8, 1]
+    assert sum(_pow2_chunks(1000)) == 1000
+
+    rng = np.random.default_rng(17)
+    letters = list("ARNDCQEGHILKMFPSTWYV")
+    pairs = [
+        ("".join(rng.choice(letters, rng.integers(5, 30))),
+         "".join(rng.choice(letters, rng.integers(5, 30))))
+        for _ in range(300)
+    ]
+    got = BatchAligner(backend="pallas_interpret").align_pairs(pairs)
+    want = BatchAligner(backend="scan").align_pairs(pairs)
+    for g, w in zip(got, want):
+        assert (g.aligned1, g.aligned2, g.score) == (
+            w.aligned1, w.aligned2, w.score)
+    # score-only through the same chunking
+    gs = BatchAligner(backend="pallas_interpret").score_pairs(pairs)
+    np.testing.assert_array_equal(
+        gs, BatchAligner(backend="scan").score_pairs(pairs))

@@ -85,3 +85,35 @@ def test_decode_bundle_roundtrip():
     assert a == [4, -1, 5] and b == [-1, 6, 7]
     a, b = device_walk.pair_path(o1, o2, 0)
     assert a == [] and b == []
+
+
+def test_hbm_budget_routes_large_buckets_to_device_walk():
+    """Under the device walk, former longseq-sized buckets stay on the
+    plain path until the pointer array exceeds the HBM budget (the
+    host-transfer cost longseq dodged is gone); outputs identical."""
+    rng = np.random.default_rng(11)
+    pairs = _rand_pairs(rng, 4, lo=120, hi=200)
+    plain = swt.BatchAligner(backend="pallas_interpret")
+    assert plain.device_walk
+    plain.tb_hbm_bytes = 1 << 40  # everything fits: device-walk route
+    forced = swt.BatchAligner(backend="pallas_interpret")
+    forced.tb_hbm_bytes = 1  # nothing fits: longseq route
+    a = plain.align_pairs(pairs)
+    b = forced.align_pairs(pairs)
+    for x, y in zip(a, b):
+        assert (x.aligned1, x.aligned2, x.score) == (
+            y.aligned1, y.aligned2, y.score)
+
+
+def test_explicit_longseq_cells_still_forces_longseq():
+    rng = np.random.default_rng(13)
+    pairs = _rand_pairs(rng, 3, lo=100, hi=160)
+    forced = swt.BatchAligner(
+        backend="pallas_interpret", longseq_cells=64 * 64
+    )
+    plain = swt.BatchAligner(backend="pallas_interpret")
+    a = forced.align_pairs(pairs)
+    b = plain.align_pairs(pairs)
+    for x, y in zip(a, b):
+        assert (x.aligned1, x.aligned2, x.score) == (
+            y.aligned1, y.aligned2, y.score)
