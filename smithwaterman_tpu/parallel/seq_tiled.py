@@ -639,8 +639,8 @@ def _make_grid_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf,
 
         k = pl.program_id(0)
         i_start = k * K
-        nvec = n_ref[:, :]
-        mvec = m_ref[:, :]
+        nvec = jnp.full((1, 1), n_ref[0, 0], jnp.int32)  # SMEM: scalar read
+        mvec = jnp.full((1, 1), m_ref[0, 0], jnp.int32)
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, Wf), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, Wf), 1)
         jg = sub * Wf + lane + 1  # global column (col0 = 0: one device)
@@ -680,9 +680,12 @@ def _make_grid_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf,
             i = i_start + q + 1
             ebm, ebx, eby, ebc = closed_edge(i)
             abm, abx, aby = closed_above(i - 1)
+            srow = s_ref[q]
+            if srow.dtype != jnp.float32:  # int8 S: widen in-register
+                srow = srow.astype(jnp.float32)
             vm, vx, vy, _, _ = _row_cells(
                 mode, og, eg, so, se, sent, i, jg, jgf,
-                s_ref[q], cm, cx, cy,
+                srow, cm, cx, cy,
                 ebm, ebx, eby, ebc, abm, abx, aby,
                 nvec, mvec, False,
                 cummax_fn=_fold_cummax,
@@ -712,8 +715,18 @@ def _make_grid_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf,
 
         st0 = (cm_s[:, :], cx_s[:, :], cy_s[:, :],
                orb_ref[:, :], orbi_ref[:, :], oacc_ref[:, :])
+        # rows in groups of R with the group body unrolled (the production
+        # row kernel's structure): one-row loop bodies leave Mosaic no
+        # instruction-level parallelism to schedule
+        R = 8 if K % 8 == 0 else 1
+
+        def group(g, st):
+            for q8 in range(R):
+                st = body(g * R + q8, st)
+            return st
+
         cm, cx, cy, rb, rbi, acc = jax.lax.fori_loop(
-            0, K, body, st0, unroll=False
+            0, K // R, group, st0, unroll=False
         )
         cm_s[:, :] = cm
         cx_s[:, :] = cx
@@ -873,7 +886,14 @@ def _build_local_fill(
 
     def grid_fill(S_l, n_g, m_g):
         Wf = W // 8
-        S_f = S_l.reshape(NP, 8, Wf)
+        if S_l.ndim == 3 and S_l.shape == (NP, 8, Wf):
+            S_f = S_l  # pre-folded (fold_S): no relayout pass at all
+        else:
+            # the XLA relayout runs at streaming speed (~25 ms for a
+            # 512 MB f32 S — 6x the fill itself); callers that can,
+            # pre-fold (fold once, reuse for ckpt fill + band refills)
+            # or pass int8 S (4x fewer relayout bytes)
+            S_f = S_l.reshape(NP, 8, Wf)
         nv2 = n_g.reshape(1, 1).astype(jnp.int32)
         mv2 = m_g.reshape(1, 1).astype(jnp.int32)
         res = _fold_grid_fill(
@@ -1286,37 +1306,63 @@ def _build_local_fill(
     return local_fill
 
 
+def fold_S(S):
+    """(1, NP, MP) -> (NP, 8, MP//8) folded layout for the single-device
+    grid kernel (sublane s carries global columns [s*MP/8, (s+1)*MP/8)).
+    On host (numpy) this is a free view; folding once and passing the
+    result to striped_fill(..., folded=True) skips the per-call XLA
+    relayout (~25 ms per 512 MB f32)."""
+    B, NP, MP = S.shape
+    assert B == 1 and MP % 8 == 0, (B, MP)
+    if isinstance(S, np.ndarray):
+        return S.reshape(NP, 8, MP // 8)
+    return jnp.reshape(S, (NP, 8, MP // 8))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "og", "eg", "block_rows", "mesh", "rows",
-                     "interpret"),
+                     "interpret", "folded"),
 )
 def striped_fill(S, n, m, *, mode, og, eg, block_rows, mesh, rows="jax",
-                 interpret=False):
+                 interpret=False, folded=False):
     """Score a batch of pairs with the column axis sharded over ``mesh``.
 
     Args:
-      S: (B, NP, MP) f32 dense substitution scores (sharded or shardable
-         as P(None, None, 'x'); MP must divide by the mesh size).
+      S: (B, NP, MP) dense substitution scores (sharded or shardable
+         as P(None, None, 'x'); MP must divide by the mesh size).  f32,
+         or int8 on the single-device grid path (widened in-register).
+         With ``folded=True`` (single-device only): the (NP, 8, MP//8)
+         layout from ``fold_S`` — skips the per-call relayout.
       n, m: (B,) int32 true lengths.
       block_rows: wavefront granularity (rows per pipeline step).
     Returns:
       LOCAL: (B,) best scores.  GLOBAL/GLOCAL: (B, 3) final (M, X, Y) at
       (n, m) — same contract as the kernel's stats[3:6].
     """
-    B, NP, MP = S.shape
     D = mesh.devices.size
+    if folded:
+        NP, eight, Wf = S.shape
+        assert D == 1 and eight == 8, (S.shape, D)
+        MP, B = Wf * 8, 1
+    else:
+        B, NP, MP = S.shape
     assert (MP // D) * D == MP, (MP, D)
     assert (NP // block_rows) * block_rows == NP, (NP, block_rows)
+    if S.dtype != jnp.float32:
+        assert D == 1 and B == 1 and rows == "pallas", (
+            "int8 S is only consumed by the single-device grid kernel"
+        )
     ax = mesh.axis_names[0]
     fn = _build_local_fill(
         mode=mode, og=og, eg=eg, B=B, NP=NP, MP=MP, K=block_rows, D=D, ax=ax,
         rows_impl=rows, interpret=interpret,
     )
+    in_spec = P(None, None, None) if folded else P(None, None, ax)
     return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(None, None, ax), P(None), P(None)),
+        in_specs=(in_spec, P(None), P(None)),
         out_specs=P(),
         check_vma=False,
     )(S, n, m)
