@@ -195,8 +195,17 @@ class BatchAligner:
 
         og, eg = self.config.og, self.config.eg
         count = len(bk.indices)
-        tile = self._bucket_tile(count, bk.mp_pad)
-        step = tile * (self.device_axis.n_devices if self.device_axis else 1)
+        if self.device_axis is not None:
+            # size the tile for the PER-SHARD share: choose_tile(count)
+            # times the mesh padded a 128-pair bucket to 1024 pairs on 8
+            # devices — 8x padding work per shard (SCALING_r02's "per-
+            # shard overhead" was mostly this)
+            nd = self.device_axis.n_devices
+            tile = self._bucket_tile(-(-count // nd), bk.mp_pad)
+            step = tile * nd
+        else:
+            tile = self._bucket_tile(count, bk.mp_pad)
+            step = tile
         B = -(-count // step) * step
         t_fill0 = _time.time()
         NP, MP = bk.np_pad, bk.mp_pad
@@ -248,6 +257,27 @@ class BatchAligner:
             pend.update(self._dispatch_pallas(
                 codes1, codes2, n, m, score_only, tile, count
             ))
+        elif (
+            self.backend in ("pallas", "pallas_interpret")
+            and self.device_walk
+            and not score_only
+        ):
+            # sharded fill + device walk: pointers stay on their shard,
+            # one small bundle per device comes back
+            masked_s = self.mode == LOCAL and bool(
+                np.all(n >= 1) and np.all(m >= 1)
+            )
+            S = self._scores(
+                codes1, codes2, tile,
+                n=n if masked_s else None, m=m if masked_s else None,
+            )
+            L = codes1.shape[1] + codes2.shape[1] + 2
+            bundles = self.device_axis.fill_walk_bundle(
+                S, n, m, mode=self.mode, og=og, eg=eg, L=L,
+                interpret=self.backend == "pallas_interpret",
+                masked_s=masked_s,
+            )
+            pend.update(kind="device_walk_sharded", bundles=bundles, L=L)
         elif self.backend in ("pallas", "pallas_interpret"):
             tb_t, stats = self._fill_pallas(
                 codes1, codes2, n, m, score_only, tile
@@ -286,6 +316,22 @@ class BatchAligner:
             idx_ready = [
                 device_walk.pair_path(o1, o2, k) for k in range(count)
             ]
+        elif pend["kind"] == "device_walk_sharded":
+            from .ops import device_walk
+
+            bundles = np.asarray(pend["bundles"])  # (D, len)
+            D, L = bundles.shape[0], pend["L"]
+            Bp = B // D
+            stats_parts, idx_ready = [], []
+            for d in range(D):
+                st, o1, o2 = device_walk.decode_bundle(bundles[d], Bp, L)
+                stats_parts.append(st)
+                remaining = count - d * Bp
+                idx_ready.extend(
+                    device_walk.pair_path(o1, o2, k)
+                    for k in range(max(0, min(Bp, remaining)))
+                )
+            stats = np.concatenate(stats_parts, axis=0)
         elif pend["kind"] == "multi":
             # power-of-two G chunks (see _dispatch_pallas): resolve each
             # part, then stitch per-pair views back together

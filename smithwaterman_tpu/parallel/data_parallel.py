@@ -63,6 +63,33 @@ def _sharded_fill_fn(mesh, mode, og, eg, score_only, interpret, masked_s=False):
 
 
 @functools.lru_cache(maxsize=64)
+def _sharded_walk_fn(mesh, mode, og, eg, interpret, masked_s, L):
+    """Fill + on-device traceback walk per shard, ONE sharded program:
+    the pointer matrix never leaves any device; each shard ships back a
+    single int32 bundle (ops/device_walk.py).  Replaces the full-matrix
+    device->host transfer the sharded path paid through r2."""
+    from ..ops import device_walk
+
+    def local_fill_walk(S_l, n_l, m_l):
+        tb, stats = pallas_dp.fill_tiled(
+            S_l, n_l, m_l, mode=mode, og=og, eg=eg,
+            score_only=False, interpret=interpret, masked_s=masked_s,
+        )
+        bundle = device_walk.walk_bundle(
+            tb, stats, n_l.reshape(-1), m_l.reshape(-1), mode=mode, L=L
+        )
+        return bundle[None]  # (1, len): concat over shards on axis 0
+
+    spec = P("data")
+    return jax.jit(
+        jax.shard_map(
+            local_fill_walk, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
 def _sharded_diag_fn(mesh, og, eg, interpret):
     from ..ops import diag_dp
 
@@ -117,6 +144,35 @@ class DataParallel:
         stats_np = np.asarray(stats).reshape(G * tile, pallas_dp.STATS_W)
         tb_np = np.asarray(tb) if not score_only else None
         return tb_np, stats_np
+
+    def fill_walk_bundle(
+        self,
+        S_tiled,
+        n: np.ndarray,
+        m: np.ndarray,
+        *,
+        mode: int,
+        og: float,
+        eg: float,
+        L: int,
+        interpret: bool = False,
+        masked_s: bool = False,
+    ):
+        """Fill + device walk, sharded; returns a DEVICE (D, len) array of
+        per-shard bundles (decode each with ops.device_walk.decode_bundle,
+        Bp = B // D pairs per shard, global pair order = shard-major)."""
+        G, _, tile, _ = S_tiled.shape
+        if G % self.n_devices:
+            raise ValueError(
+                f"tile count {G} not divisible by mesh size {self.n_devices}"
+            )
+        nt = jnp.asarray(np.asarray(n).reshape(G, tile, 1), jnp.int32)
+        mt = jnp.asarray(np.asarray(m).reshape(G, tile, 1), jnp.int32)
+        fn = _sharded_walk_fn(
+            self.mesh, mode, float(og), float(eg), bool(interpret),
+            bool(masked_s), int(L),
+        )
+        return fn(S_tiled, nt, mt)
 
     def fill_diag(
         self, S_tiled, *, og: float, eg: float, interpret: bool = False

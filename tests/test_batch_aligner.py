@@ -169,3 +169,21 @@ def test_pow2_group_chunking_matches_scan():
     gs = BatchAligner(backend="pallas_interpret").score_pairs(pairs)
     np.testing.assert_array_equal(
         gs, BatchAligner(backend="scan").score_pairs(pairs))
+
+
+def test_sharded_host_walk_fallback_matches():
+    """SWTPU_DEVICE_WALK=0 equivalent: the sharded full-matrix host-walk
+    path must match the sharded device-walk default."""
+    dp = DataParallel(make_mesh(8))
+    pairs = _short_pairs() * 3
+    dev = BatchAligner(
+        mode=LOCAL, backend="pallas_interpret", device_axis=dp,
+        device_walk=True,
+    ).align_pairs(pairs)
+    host = BatchAligner(
+        mode=LOCAL, backend="pallas_interpret", device_axis=dp,
+        device_walk=False,
+    ).align_pairs(pairs)
+    for d, h in zip(dev, host):
+        assert (d.score, d.aligned1, d.aligned2) == (
+            h.score, h.aligned1, h.aligned2)
