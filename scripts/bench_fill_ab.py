@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Focused fill A/B: LOCAL tb+so at 256^2 and 512^2 (the VERDICT r2 #3/#5
+targets).  Run in SEPARATE processes per env setting:
+
+  python scripts/bench_fill_ab.py                         # defaults
+  SWTPU_MAX_ROWGROUP=16 python scripts/bench_fill_ab.py
+  SWTPU_RB_BUDGET_KB=2048 python scripts/bench_fill_ab.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+
+def main():
+    assert jax.default_backend() == "tpu"
+    from bench_suite import bench_fill  # noqa: E402
+
+    from smithwaterman_tpu.config import LOCAL
+
+    env = {k: os.environ.get(k) for k in
+           ("SWTPU_MAX_ROWGROUP", "SWTPU_RB_BUDGET_KB", "SWTPU_FINALS_GATE")
+           if os.environ.get(k)}
+    if "--tile256" in sys.argv:
+        import bench_suite
+        from smithwaterman_tpu.ops import pallas_dp as _pd
+        import smithwaterman_tpu.ops.batch as _b
+
+        def wide_tile(count, mp_pad, _orig=_pd.choose_tile):
+            t = _orig(count, mp_pad)
+            if t == 128 and mp_pad <= 256 and count >= 256:
+                t = 256
+            return t
+
+        # bench_fill re-imports choose_tile from pallas_dp per call, so
+        # patching the module attr takes effect
+        _pd.choose_tile = wide_tile
+        env["tile256"] = True
+    cfgs = [(2048, 256), (512, 512)]
+    if "--big" in sys.argv:
+        cfgs += [(128, 1024)]
+    for B, N in cfgs:
+        for so in (False, True):
+            g, dt = bench_fill(B, N, LOCAL, so)
+            print(json.dumps({
+                "bucket": f"{N}x{N}", "mode": "local", "score_only": so,
+                "gcups": round(g, 2), "ms_per_call": round(dt * 1e3, 2),
+                "env": env}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -78,7 +78,7 @@ def _lab_kernel(
     *, og, eg, rb_rows, tbp, mp, n_row_blocks, R,
     fuse_max3, nomask, fake_cummax, nchain, traceback, i16=False,
     selmax=False, ptrfast=False, detrend=False, ptreq=False, xscan=False,
-    i16store=False, tb_ref=None,
+    i16store=False, tbdrop=None, bareroll=False, tb_ref=None,
 ):
     """LOCAL-mode score-only (or traceback) row kernel, parameterized.
 
@@ -174,7 +174,9 @@ def _lab_kernel(
             p0, p1, p2, p3 = (jnp.int16(v) for v in (0, 1, 2, 3))
         else:
             p0, p1, p2, p3 = 0, 1, 2, 3
-        if traceback and ptrfast:
+        if traceback and ptrfast and tbdrop in ("prevm", "all"):
+            prev_m = jnp.zeros((tbp // nchain, mp), jnp.int32)
+        elif traceback and ptrfast:
             # argmax of (M, X, Y) computed pre-shift (tie order M >= X >= Y),
             # then the packed 2-bit result is shifted ONCE; boundary lane 0
             # resolves to 0 (i==1) / 2 (else) in every mode (fills are
@@ -190,20 +192,30 @@ def _lab_kernel(
                     jnp.where(Mp >= Yp, p0, p2),
                     jnp.where(Xp >= Yp, p1, p2),
                 )
-            fill_pm = jnp.where(
-                jnp.broadcast_to(at_first, fsh),
-                jnp.zeros(fsh, jnp.int32), jnp.full(fsh, 2, jnp.int32),
-            )
-            prev_m = _shift_right(pm_pre, fill_pm)
+            if bareroll:
+                # lane-0 fill dropped: rolled-in garbage lands on cells
+                # (i, 1) whose M-pointer targets the j=0 boundary, where
+                # every walker normalizes the state; garbage in {0,1,2}
+                # can never fake CELL_STOP (the override lands after)
+                prev_m = pltpu.roll(pm_pre, shift=1, axis=1)
+            else:
+                fill_pm = jnp.where(
+                    jnp.broadcast_to(at_first, fsh),
+                    jnp.zeros(fsh, jnp.int32), jnp.full(fsh, 2, jnp.int32),
+                )
+                prev_m = _shift_right(pm_pre, fill_pm)
             # Y-extend wins the cascade iff it strictly beats BOTH opens,
             # i.e. Ye > max(Mp,Xp)+og = Ue (one cmp, operands reused from
             # val_y).  In the else branch Ue >= Ye holds, so the old
             # c1 = (Mp+og >= Ye) is implied by c2 = (Mp > Xp) (then
             # Ue = Mp+og) and irrelevant when !c2 — just select on c2.
             # Constants pre-shifted <<4.
-            ygt = Ye > Ue
-            c2 = Mp > Xp
-            prev_y = jnp.where(ygt, 32, jnp.where(c2, 0, 16))
+            if tbdrop in ("prevy", "all"):
+                prev_y = None  # replaced with a constant at pack time
+            else:
+                ygt = Ye > Ue
+                c2 = Mp > Xp
+                prev_y = jnp.where(ygt, 32, jnp.where(c2, 0, 16))
         elif traceback:
             Mp1t = _shift_right(Mp, fill_m)
             Xp1t = _shift_right(Xp, fill_x)
@@ -273,14 +285,26 @@ def _lab_kernel(
             else:
                 Xm1 = _shift_right(val_x, x0b)
                 x_wins = Xm1 + eg > hraw
-            myp = jnp.where(val_m > val_y, 0, 8)  # constants pre-shifted <<2
-            my = _shift_right(myp, 8)
-            prev_x = jnp.where(x_wins, 4, my)
-            prev_m = jnp.where(val_m == zero, 3, prev_m)
-            prev_x = jnp.where(val_x == zero, 12, prev_x)
-            prev_y = jnp.where(val_y == zero, 48, prev_y)
+            if tbdrop in ("prevx", "all"):
+                prev_x = jnp.full((tbp // nchain, mp), 4, jnp.int32)
+            else:
+                myp = jnp.where(val_m > val_y, 0, 8)  # consts pre-shifted <<2
+                if bareroll:
+                    my = pltpu.roll(myp, shift=1, axis=1)
+                else:
+                    my = _shift_right(myp, 8)
+                prev_x = jnp.where(x_wins, 4, my)
+            if tbdrop in ("prevy", "all"):
+                prev_y = jnp.full((tbp // nchain, mp), 16, jnp.int32)
+            if tbdrop not in ("override", "all"):
+                prev_m = jnp.where(val_m == zero, 3, prev_m)
+                prev_x = jnp.where(val_x == zero, 12, prev_x)
+                prev_y = jnp.where(val_y == zero, 48, prev_y)
             packed = prev_m | prev_x | prev_y
-            tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = packed.astype(jnp.uint8)
+            if tbdrop == "store":
+                rbv = jm(rbv, packed.astype(jnp.float32))
+            else:
+                tb_ref[0, r, pl.ds(coff, tbp // nchain), :] = packed.astype(jnp.uint8)
         elif traceback:
             Mm1 = _shift_right(val_m, sent)
             Xm1 = _shift_right(val_x, x0b)
@@ -353,14 +377,15 @@ def _lab_kernel(
     static_argnames=(
         "og", "eg", "R", "fuse_max3", "nomask", "fake_cummax", "nchain",
         "traceback", "rb_rows", "i16", "selmax", "ptrfast", "detrend",
-        "ptreq", "xscan", "i16store", "interpret", "return_tb",
+        "ptreq", "xscan", "i16store", "tbdrop", "bareroll", "interpret",
+        "return_tb",
     ),
 )
 def lab_fill(
     S, bump, *, og, eg, R, fuse_max3, nomask, fake_cummax, nchain, traceback,
     rb_rows, i16=False, selmax=False, ptrfast=False, detrend=False,
-    ptreq=False, xscan=False, i16store=False, interpret=False,
-    return_tb=False,
+    ptreq=False, xscan=False, i16store=False, tbdrop=None,
+    bareroll=False, interpret=False, return_tb=False,
 ):
     G, NP, tbp, MP = S.shape
     n_row_blocks = NP // rb_rows
@@ -372,7 +397,8 @@ def lab_fill(
         n_row_blocks=n_row_blocks, R=R, fuse_max3=fuse_max3, nomask=nomask,
         fake_cummax=fake_cummax, nchain=nchain, traceback=traceback, i16=i16,
         selmax=selmax, ptrfast=ptrfast, detrend=detrend, ptreq=ptreq,
-        xscan=xscan, i16store=i16store,
+        xscan=xscan, i16store=i16store, tbdrop=tbdrop,
+        bareroll=bareroll,
     )
     if traceback:
         def kfn(bump_ref, s_ref, tb_ref, stats_ref, cm, cx, cy, runbest):
@@ -549,6 +575,48 @@ def main():
             S128_i8,
             {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
              "ptrfast": True, "detrend": True},
+        ),
+        "tb-xscan-bareroll": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "bareroll": True},
+        ),
+        "tb-xscan-drop-override": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "tbdrop": "override"},
+        ),
+        "tb-xscan-drop-prevy": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "tbdrop": "prevy"},
+        ),
+        "tb-xscan-drop-prevm": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "tbdrop": "prevm"},
+        ),
+        "tb-xscan-drop-prevx": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "tbdrop": "prevx"},
+        ),
+        "tb-xscan-drop-store": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "tbdrop": "store"},
+        ),
+        "tb-xscan-drop-all": (
+            S128_i8,
+            {**base_i8, "fuse_max3": True, "R": 8, "traceback": True,
+             "ptrfast": True, "detrend": True, "xscan": True,
+             "tbdrop": "all"},
         ),
         "tb-xscan-R8-i8": (
             S128_i8,

