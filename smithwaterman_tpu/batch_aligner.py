@@ -36,6 +36,31 @@ from .ops import traceback
 
 
 
+def _copy_async(arr) -> None:
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, RuntimeError):  # non-jax arrays / cpu backend
+        pass
+
+
+def _start_host_copies(pend) -> None:
+    """Kick off device->host copies for every fetchable piece of a
+    dispatched bucket so the finish phase's np.asarray calls overlap."""
+    kind = pend.get("kind")
+    if kind == "device_walk":
+        _copy_async(pend["bundle"])
+    elif kind == "device_walk_sharded":
+        _copy_async(pend["bundles"])
+    elif kind == "pallas_async":
+        pf = pend["pf"]
+        _copy_async(pf.stats_dev)
+        for p in pf.pieces or ():
+            _copy_async(p)
+    elif kind == "multi":
+        for _, part in pend["parts"]:
+            _start_host_copies(part)
+
+
 def _pow2_chunks(G: int, cap: int = 8) -> List[int]:
     """Split G tile groups into power-of-two chunk sizes <= cap (largest
     first), so kernel programs (shape-specialized on G) are reused across
@@ -173,6 +198,11 @@ class BatchAligner:
             (bk, self._dispatch_bucket(bk, score_only))
             for bk in buckets.values()
         ]
+        # start every bucket's device->host copy before blocking on any:
+        # each synchronous fetch costs a ~25 ms round trip on remote
+        # devices, and they serialize without this (REFBENCH_r03)
+        for _, pend in pending:
+            _start_host_copies(pend)
         for bk, pend in pending:
             self._finish_bucket(bk, pend, seqs, results, retain_all,
                                 score_only)
