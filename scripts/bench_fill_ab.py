@@ -40,14 +40,23 @@ def main():
         # patching the module attr takes effect
         _pd.choose_tile = wide_tile
         env["tile256"] = True
-    cfgs = [(2048, 256), (512, 512)]
+    from smithwaterman_tpu.config import GLOCAL
+
+    cfgs = [(2048, 256, LOCAL, "local"), (512, 512, LOCAL, "local")]
     if "--big" in sys.argv:
-        cfgs += [(128, 1024)]
-    for B, N in cfgs:
+        cfgs += [(128, 1024, LOCAL, "local")]
+    if "--x4096" in sys.argv:
+        # the 4096^2 "dip" hypothesis: 8 pairs -> tile 8 -> (8, 4096)
+        # slabs are issue-dominated; 32 pairs -> tile 32 should close it
+        cfgs = [(8, 4096, LOCAL, "local"), (32, 4096, LOCAL, "local")]
+    if "--glocal256" in sys.argv:
+        cfgs = [(2048, 256, GLOCAL, "glocal"), (512, 512, GLOCAL, "glocal")]
+    for B, N, mode, mname in cfgs:
         for so in (False, True):
-            g, dt = bench_fill(B, N, LOCAL, so)
+            g, dt = bench_fill(B, N, mode, so)
             print(json.dumps({
-                "bucket": f"{N}x{N}", "mode": "local", "score_only": so,
+                "bucket": f"{N}x{N}", "pairs": B, "mode": mname,
+                "score_only": so,
                 "gcups": round(g, 2), "ms_per_call": round(dt * 1e3, 2),
                 "env": env}), flush=True)
 

@@ -62,11 +62,13 @@ def bench_fill(B, N, mode, score_only, ncall=32):
     mt = jnp.full((G, tile, 1), N, jnp.int32)
 
     @jax.jit
-    def chain(nt0, mt0):
+    def chain(S_a, nt0, mt0):
+        # S as an ARGUMENT: closed-over device arrays are inlined into
+        # the compile payload (a 512 MB S blows the tunnel's HTTP limit)
         def body(nm, _):
             nt_c, mt_c = nm
             tb, stats = pallas_dp.fill_tiled(
-                S, nt_c, mt_c, mode=mode, og=-10.0, eg=-0.5,
+                S_a, nt_c, mt_c, mode=mode, og=-10.0, eg=-0.5,
                 score_only=score_only, masked_s=masked_s,
             )
             bump = (stats[0, 0, 0] * 0.0).astype(jnp.int32)
@@ -74,14 +76,13 @@ def bench_fill(B, N, mode, score_only, ncall=32):
         _, out = jax.lax.scan(body, (nt0, mt0), None, length=ncall)
         return out
 
-    _force(chain(nt, mt))  # compile + warm
+    _force(chain(S, nt, mt))  # compile + warm
     dt = None
     for k in range(3):
         # vary an input per timed call to defeat the tunnel execution cache
-        ntk = nt + k + 1 - (k + 1)  # same values, fresh buffer
-        ntk = jnp.asarray(np.asarray(nt))  # force distinct upload
+        ntk = jnp.asarray(np.asarray(nt))  # same values, fresh buffer
         t0 = time.time()
-        _force(chain(ntk, mt))
+        _force(chain(S, ntk, mt))
         d = (time.time() - t0) / ncall
         dt = d if dt is None else min(dt, d)
     return B * N * N / dt / 1e9, dt
@@ -111,7 +112,7 @@ def main():
 
     fill_cfgs = [
         (2048, 256), (512, 512), (128, 1024),
-    ] + ([] if args.quick else [(32, 2048), (8, 4096)])
+    ] + ([] if args.quick else [(32, 2048), (8, 4096), (32, 4096)])
     if not want("fill"):
         fill_cfgs = []
     for B, N in fill_cfgs:
