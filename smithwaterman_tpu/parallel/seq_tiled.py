@@ -65,6 +65,8 @@ def _row_cells(
                         # Default jnp.concatenate; the Pallas kernel passes
                         # a pltpu.roll variant — Mosaic cannot lower the
                         # concat of offset-layout slices at P == 1 sublane
+    jgf_pe=None,        # optional hoisted (jgf - 1) * eg (loop-invariant
+                        # outside GLOCAL; saves 2 wide ops/row)
 ):
     """One striped DP row over local lanes — the exact cell rules of
     ops/scan_dp.fill, shared by the pure-JAX shard_map path and the Pallas
@@ -76,23 +78,30 @@ def _row_cells(
     fi = i.astype(jnp.float32) if hasattr(i, "astype") else jnp.float32(i)
     lsc_i = fi * se + (so - se)
     P, W = cm.shape
-    lane0_is_j1 = jg == 1  # true only on device 0
 
     if shift_fn is None:
         shift_fn = lambda v, fill: jnp.concatenate(
             [fill, v[:, :-1]], axis=1
         )
-    Mp1 = shift_fn(cm, abm)
-    Xp1 = shift_fn(cx, abx)
-    Yp1 = shift_fn(cy, aby)
-    val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
     if emit_tb:
+        Mp1 = shift_fn(cm, abm)
+        Xp1 = shift_fn(cx, abx)
+        Yp1 = shift_fn(cy, aby)
+        val_m = jnp.maximum(jnp.maximum(Mp1, Xp1), Yp1) + srow
         m_ge_x = Mp1 >= Xp1
         m_ge_y = Mp1 >= Yp1
         x_ge_y = Xp1 >= Yp1
         prev_m = jnp.where(
             m_ge_x, jnp.where(m_ge_y, 0, 2), jnp.where(x_ge_y, 1, 2)
         )
+    else:
+        # fused max3 (ops/pallas_dp.py, +11% there): max3 is associative
+        # and commutes with the lane shift, and the fused boundary fill
+        # is the max of the three per-state fills — ONE shift instead of
+        # three, bit-identical by construction
+        W3 = jnp.maximum(jnp.maximum(cm, cx), cy)
+        fill_w = jnp.maximum(jnp.maximum(abm, abx), aby)
+        val_m = shift_fn(W3, fill_w) + srow
 
     if mode == GLOCAL:
         last_col = jg == mvec
@@ -103,17 +112,19 @@ def _row_cells(
 
     if mode == LOCAL:
         # rs:233-252 — `>=` favors M-open, inner `>` favors X on ties
-        c1 = cm + og >= cy + eg
-        c2 = cm > cx
-        c3 = cy + eg > cx + og
+        if emit_tb:
+            c1 = cm + og >= cy + eg
+            c2 = cm > cx
+            c3 = cy + eg > cx + og
         val_y = jnp.maximum(jnp.maximum(cm, cx) + og, cy + eg)
         val_m = jnp.maximum(val_m, 0.0)
         val_y = jnp.maximum(val_y, 0.0)
     else:
         # rs:192-211 — strict `>` for M-open vs Y-extend
-        c1 = cm + qo > cy + qe
-        c2 = cm >= cx
-        c3 = cy + qe >= cx + qo
+        if emit_tb:
+            c1 = cm + qo > cy + qe
+            c2 = cm >= cx
+            c3 = cy + qe >= cx + qo
         val_y = jnp.maximum(jnp.maximum(cm + qo, cy + qe), cx + qo)
     if emit_tb:
         prev_y = jnp.where(c1, jnp.where(c2, 0, 1), jnp.where(c3, 2, 1))
@@ -129,13 +140,18 @@ def _row_cells(
     g_edge = jnp.maximum(ebm, eby) + po  # G at col0
     gline = jnp.maximum(val_m, val_y) + po
     hraw = shift_fn(gline, g_edge)
-    h = hraw - (jgf - 1.0) * pe
-    # device 0 lane 0 holds H[0] = max(G[0], x0b + pe) (scan_dp:170)
-    x0b = lsc_i + sent
-    h = jnp.where(lane0_is_j1, jnp.maximum(h, x0b + pe), h)
+    if jgf_pe is None or mode == GLOCAL:  # glocal: pe varies by row
+        jgf_pe = (jgf - 1.0) * pe
+    h = hraw - jgf_pe
+    # The h0 fold h[0] <- max(h[0], x0b + pe) is a VALUE no-op in every
+    # mode (ops/pallas_dp.py r2 proof): device-0 lane 0 holds
+    # g_edge = lsc_i + po and x0b + pe - g_edge = sent + pe - po
+    # = 9og + 11eg <= 0 for admissible penalties, with equal values on
+    # equality; non-zero shards never have global j == 1.  Skipped
+    # (saves an iota-compare + select + max per row).
     scan = cummax_fn or (lambda v: jax.lax.cummax(v, axis=1))
     c = jnp.maximum(scan(h), ebc)
-    val_x = c + (jgf - 1.0) * pe
+    val_x = c + jgf_pe
     if mode == LOCAL:
         val_x = jnp.maximum(val_x, 0.0)
 
@@ -646,6 +662,7 @@ def _make_grid_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf,
         jg = sub * Wf + lane + 1  # global column (col0 = 0: one device)
         jgf = jg.astype(jnp.float32)
         valid_j = jg <= mvec
+        jgf_pe = None if mode == GLOCAL else (jgf - 1.0) * eg
 
         def lscf(i):
             return i.astype(jnp.float32) * se + (so - se)
@@ -690,6 +707,7 @@ def _make_grid_kernel_folded(*, mode, og, eg, so, se, sent, K, Wf,
                 nvec, mvec, False,
                 cummax_fn=_fold_cummax,
                 shift_fn=_fold_shift_right,
+                jgf_pe=jgf_pe,
             )
             if mode == LOCAL:
                 masked = jnp.where(valid_j & (i <= nvec), vm, NEG)
