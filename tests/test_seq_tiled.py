@@ -262,3 +262,31 @@ def test_striped_degenerate_penalties():
         )
         assert idx_lists[b][0] == want[0], f"pair {b} idx1"
         assert idx_lists[b][1] == want[1], f"pair {b} idx2"
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_grid_fill_int8_and_prefolded_inputs(mode):
+    """The D=1 grid fast path accepts int8 S (widened in-register) and
+    fold_S-prefolded input; both must be bit-identical to the f32 jax
+    rows path."""
+    import jax.numpy as jnp
+
+    from smithwaterman_tpu.parallel.seq_tiled import fold_S
+
+    sm = SubstitutionMatrix.blosum62()
+    c1 = RNG.integers(0, 20, size=48).astype(np.int32)
+    c2 = RNG.integers(0, 20, size=1024).astype(np.int32)
+    S = sm.dense_scores(c1, c2).astype(np.float32)[None]
+    n = jnp.asarray([48], jnp.int32)
+    m = jnp.asarray([997], jnp.int32)
+    mesh = make_mesh(1)
+    kw = dict(mode=mode, og=OG, eg=EG, block_rows=8, mesh=mesh)
+    want = np.asarray(striped_fill(jnp.asarray(S), n, m, rows="jax", **kw))
+    got_i8 = striped_fill(
+        jnp.asarray(S.astype(np.int8)), n, m, rows="pallas",
+        interpret=True, **kw)
+    got_folded = striped_fill(
+        jnp.asarray(fold_S(S.astype(np.int8))), n, m, rows="pallas",
+        interpret=True, folded=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_i8), want)
+    np.testing.assert_array_equal(np.asarray(got_folded), want)
