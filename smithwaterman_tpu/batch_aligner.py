@@ -61,6 +61,12 @@ def _start_host_copies(pend) -> None:
             _start_host_copies(part)
 
 
+# largest pointer array the device walk may gather from: walk_bundle's
+# flat index arithmetic is int32, so one walk's tb must stay < 2^31
+# elements or the gather silently wraps (corrupt paths, no error)
+_WALK_MAX_TB = (1 << 31) - 1
+
+
 def _pow2_chunks(G: int, cap: int = 8) -> List[int]:
     """Split G tile groups into power-of-two chunk sizes <= cap (largest
     first), so kernel programs (shape-specialized on G) are reused across
@@ -262,7 +268,9 @@ class BatchAligner:
         if self.longseq_cells is not None:
             too_big = bk.np_pad * bk.mp_pad >= self.longseq_cells
         elif self.device_walk:
-            too_big = tb_bytes > self.tb_hbm_bytes
+            # _WALK_MAX_TB caps the budget even if SWTPU_TB_HBM_BYTES is
+            # raised: past it the walk's int32 gather index would wrap
+            too_big = tb_bytes > min(self.tb_hbm_bytes, _WALK_MAX_TB)
         else:
             too_big = bk.np_pad * bk.mp_pad >= 8192 * 4096
         use_longseq = (
@@ -291,12 +299,12 @@ class BatchAligner:
             self.backend in ("pallas", "pallas_interpret")
             and self.device_walk
             and not score_only
+            # per-shard pointer array must stay gather-indexable (int32)
+            and tb_bytes // self.device_axis.n_devices <= _WALK_MAX_TB
         ):
             # sharded fill + device walk: pointers stay on their shard,
             # one small bundle per device comes back
-            masked_s = self.mode == LOCAL and bool(
-                np.all(n >= 1) and np.all(m >= 1)
-            )
+            masked_s = self._masked_s(n, m)
             S = self._scores(
                 codes1, codes2, tile,
                 n=n if masked_s else None, m=m if masked_s else None,
@@ -364,9 +372,14 @@ class BatchAligner:
             stats = np.concatenate(stats_parts, axis=0)
         elif pend["kind"] == "multi":
             # power-of-two G chunks (see _dispatch_pallas): resolve each
-            # part, then stitch per-pair views back together
+            # part, then stitch per-pair views back together.  Chunks of
+            # one bucket share every dispatch condition, so mixed kinds
+            # can only mean a bug upstream — fail loudly rather than
+            # stitch wrong pointers.
             from .ops import device_walk
 
+            kinds = {part["kind"] for _, part in pend["parts"]}
+            assert len(kinds) == 1, f"mixed chunk kinds in bucket: {kinds}"
             stats_parts = []
             idx_parts: Optional[list] = []
             tb_parts = []
@@ -381,15 +394,18 @@ class BatchAligner:
                         device_walk.pair_path(o1, o2, k)
                         for k in range(cnt)
                     )
-                else:  # pallas_async
-                    gt, st = part["pf"].fetch()
+                else:  # pallas_async (score-only) / ready (host walk)
+                    if part["kind"] == "ready":
+                        gt, st = part["get_tb"], part["stats"]
+                    else:
+                        gt, st = part["pf"].fetch()
                     stats_parts.append(st[:cnt])
                     idx_parts = None
                     tb_parts.append((cnt, gt))
             stats = np.concatenate(stats_parts, axis=0)
             if idx_parts is not None:
                 idx_ready = idx_parts
-            elif tb_parts:
+            elif any(gt is not None for _, gt in tb_parts):
                 walk = traceback.walk_tiled
                 offsets = np.cumsum([0] + [c for c, _ in tb_parts])
 
@@ -452,14 +468,19 @@ class BatchAligner:
             m=None if m is None else jax.numpy.asarray(m),
         )
 
-    def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
-        # LOCAL: poison padded cells of S so the kernel can run its
-        # unmasked running-best fast path (see fill_tiled masked_s).  The
-        # argmax-position proof needs every pair non-empty; empty pairs
-        # fall back to the masked kernel.
-        masked_s = self.mode == LOCAL and bool(
+    def _masked_s(self, n, m) -> bool:
+        """LOCAL: poison padded cells of S so the kernel can run its
+        unmasked running-best fast path (see fill_tiled masked_s).  The
+        argmax-position proof needs every pair non-empty; empty pairs
+        fall back to the masked kernel.  (Single definition on purpose:
+        the tie-break/argmax precondition is load-bearing for EMBOSS
+        exactness and must not diverge between dispatch paths.)"""
+        return self.mode == LOCAL and bool(
             np.all(np.asarray(n) >= 1) and np.all(np.asarray(m) >= 1)
         )
+
+    def _fill_pallas(self, codes1, codes2, n, m, score_only, tile):
+        masked_s = self._masked_s(n, m)
         S = self._scores(
             codes1, codes2, tile,
             n=n if masked_s else None, m=m if masked_s else None,
@@ -537,9 +558,7 @@ class BatchAligner:
         never crosses to the host)."""
         import jax.numpy as jnp
 
-        masked_s = self.mode == LOCAL and bool(
-            np.all(np.asarray(n) >= 1) and np.all(np.asarray(m) >= 1)
-        )
+        masked_s = self._masked_s(n, m)
         S = self._scores(
             codes1, codes2, tile,
             n=n if masked_s else None, m=m if masked_s else None,
@@ -582,6 +601,14 @@ class BatchAligner:
             count=count, score_only=score_only, interpret=interp,
             masked_s=masked_s,
         )
+        if pf.pieces is not None and not self.device_walk:
+            # host-walk fallback: fetch NOW so this bucket's pointer
+            # buffers free before the next bucket fills — keeping every
+            # bucket's full tb alive through the dispatch phase would
+            # regress peak HBM vs the old serial per-bucket flow
+            get_tb, stats = pf.fetch()
+            return {"kind": "ready", "stats": stats,
+                    "walk": traceback.walk_tiled, "get_tb": get_tb}
         return {"kind": "pallas_async", "pf": pf}
 
     def _fill_scan(self, codes1, codes2, n, m, score_only):

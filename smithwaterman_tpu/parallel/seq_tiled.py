@@ -860,7 +860,7 @@ def _block_pallas_call(
 def _build_local_fill(
     *, mode, og, eg, B, NP, MP, K, D, ax,
     ckpt_rows=None, emit_tb=False, seeded=False, track_arg=False,
-    rows_impl="jax", interpret=False,
+    rows_impl="jax", interpret=False, grid_only=False,
 ):
     """Build the per-shard fill function for ``shard_map``.
 
@@ -901,6 +901,17 @@ def _build_local_fill(
         and W >= FOLD_MIN_W
         and (not C or (C % K == 0 and NP % C == 0))
     )
+    if grid_only and not grid_path:
+        # folded / int8 S is only consumed by the grid kernel; falling
+        # into the block-scan path with it would fail with an opaque
+        # shape error deep inside local_fill
+        raise ValueError(
+            "folded or non-f32 S requires the D==1 grid kernel: need "
+            "rows='pallas', B==1, block_rows%8==0 (after VMEM halving: "
+            f"K={K}), W%{8 * FOLD_LANE}==0, W>={FOLD_MIN_W}, and "
+            f"checkpoint cadence C%K==0, NP%C==0 (got D={D}, B={B}, "
+            f"W={W}, C={C}, seeded={seeded}, emit_tb={emit_tb})"
+        )
 
     def grid_fill(S_l, n_g, m_g):
         Wf = W // 8
@@ -1367,14 +1378,11 @@ def striped_fill(S, n, m, *, mode, og, eg, block_rows, mesh, rows="jax",
         B, NP, MP = S.shape
     assert (MP // D) * D == MP, (MP, D)
     assert (NP // block_rows) * block_rows == NP, (NP, block_rows)
-    if S.dtype != jnp.float32:
-        assert D == 1 and B == 1 and rows == "pallas", (
-            "int8 S is only consumed by the single-device grid kernel"
-        )
     ax = mesh.axis_names[0]
     fn = _build_local_fill(
         mode=mode, og=og, eg=eg, B=B, NP=NP, MP=MP, K=block_rows, D=D, ax=ax,
         rows_impl=rows, interpret=interpret,
+        grid_only=folded or S.dtype != jnp.float32,
     )
     in_spec = P(None, None, None) if folded else P(None, None, ax)
     return jax.shard_map(

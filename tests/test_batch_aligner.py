@@ -160,13 +160,34 @@ def test_pow2_group_chunking_matches_scan():
          "".join(rng.choice(letters, rng.integers(5, 30))))
         for _ in range(300)
     ]
-    got = BatchAligner(backend="pallas_interpret").align_pairs(pairs)
+    # tile_pairs=8 forces G > 1 buckets so the multi-chunk dispatch and
+    # the finish-phase stitching ACTUALLY run (with the default tile
+    # ladder these short pairs all land in G == 1 buckets)
     want = BatchAligner(backend="scan").align_pairs(pairs)
-    for g, w in zip(got, want):
-        assert (g.aligned1, g.aligned2, g.score) == (
-            w.aligned1, w.aligned2, w.score)
+    for device_walk in (True, False):  # device bundles / host-walk parts
+        ba = BatchAligner(
+            backend="pallas_interpret", tile_pairs=8,
+            device_walk=device_walk,
+        )
+        seen_multi = {}
+        orig = ba._dispatch_pallas
+
+        def spy(codes1, *a, _orig=orig, _seen=seen_multi, **kw):
+            pend = _orig(codes1, *a, **kw)
+            _seen.setdefault(pend["kind"], 0)
+            _seen[pend["kind"]] += 1
+            return pend
+
+        ba._dispatch_pallas = spy
+        got = ba.align_pairs(pairs)
+        assert seen_multi.get("multi"), f"multi path not exercised: {seen_multi}"
+        for g, w in zip(got, want):
+            assert (g.aligned1, g.aligned2, g.score) == (
+                w.aligned1, w.aligned2, w.score)
     # score-only through the same chunking
-    gs = BatchAligner(backend="pallas_interpret").score_pairs(pairs)
+    gs = BatchAligner(
+        backend="pallas_interpret", tile_pairs=8
+    ).score_pairs(pairs)
     np.testing.assert_array_equal(
         gs, BatchAligner(backend="scan").score_pairs(pairs))
 

@@ -290,3 +290,21 @@ def test_grid_fill_int8_and_prefolded_inputs(mode):
         interpret=True, folded=True, **kw)
     np.testing.assert_array_equal(np.asarray(got_i8), want)
     np.testing.assert_array_equal(np.asarray(got_folded), want)
+
+
+def test_grid_only_inputs_rejected_off_grid_path():
+    """folded / int8 S on a configuration the grid kernel cannot serve
+    must fail with a clear ValueError, not an opaque shape error."""
+    import jax.numpy as jnp
+
+    from smithwaterman_tpu.parallel.seq_tiled import fold_S
+
+    S = np.zeros((1, 48, 1024), np.float32)
+    n = jnp.asarray([48], jnp.int32)
+    m = jnp.asarray([1024], jnp.int32)
+    with pytest.raises(ValueError, match="grid kernel"):
+        striped_fill(
+            jnp.asarray(fold_S(S.astype(np.int8))), n, m, mode=LOCAL,
+            og=OG, eg=EG, block_rows=4, mesh=make_mesh(1), rows="pallas",
+            interpret=True, folded=True,
+        )
