@@ -20,27 +20,11 @@ def main():
     assert jax.default_backend() == "tpu"
     from bench_suite import bench_fill  # noqa: E402
 
-    from smithwaterman_tpu.config import LOCAL
+    from smithwaterman_tpu.config import GLOCAL, LOCAL
 
     env = {k: os.environ.get(k) for k in
            ("SWTPU_MAX_ROWGROUP", "SWTPU_RB_BUDGET_KB", "SWTPU_FINALS_GATE")
            if os.environ.get(k)}
-    if "--tile256" in sys.argv:
-        import bench_suite
-        from smithwaterman_tpu.ops import pallas_dp as _pd
-        import smithwaterman_tpu.ops.batch as _b
-
-        def wide_tile(count, mp_pad, _orig=_pd.choose_tile):
-            t = _orig(count, mp_pad)
-            if t == 128 and mp_pad <= 256 and count >= 256:
-                t = 256
-            return t
-
-        # bench_fill re-imports choose_tile from pallas_dp per call, so
-        # patching the module attr takes effect
-        _pd.choose_tile = wide_tile
-        env["tile256"] = True
-    from smithwaterman_tpu.config import GLOCAL
 
     cfgs = [(2048, 256, LOCAL, "local"), (512, 512, LOCAL, "local")]
     if "--big" in sys.argv:

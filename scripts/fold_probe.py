@@ -190,9 +190,6 @@ def run_minrows2(tag, P, Wl, nosrc=False, nblocks=64, rows=32):
                 vmem_limit_bytes=96 << 20),
         )(b, c)
 
-    def kern4(b_ref, s_ref, o_ref):
-        pass
-
     @jax.jit
     def chain(xb, b):
         o = call(b, xb)

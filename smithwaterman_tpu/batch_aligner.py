@@ -32,6 +32,7 @@ from .aligner import (
 from .config import LOCAL, AlignConfig, CELL_MATCH, bucket_len
 from .matrices import ScoringMatrix, SubstitutionMatrix
 from .ops import batch as batch_ops
+from .ops import device_walk
 from .ops import traceback
 
 
@@ -309,7 +310,7 @@ class BatchAligner:
                 codes1, codes2, tile,
                 n=n if masked_s else None, m=m if masked_s else None,
             )
-            L = codes1.shape[1] + codes2.shape[1] + 2
+            L = device_walk.max_path_len(codes1.shape[1], codes2.shape[1])
             bundles = self.device_axis.fill_walk_bundle(
                 S, n, m, mode=self.mode, og=og, eg=eg, L=L,
                 interpret=self.backend == "pallas_interpret",
@@ -345,8 +346,6 @@ class BatchAligner:
             get_tb, stats = pend["pf"].fetch()
             walk = traceback.walk_tiled
         elif pend["kind"] == "device_walk":
-            from .ops import device_walk
-
             bundle = np.asarray(pend["bundle"])
             stats, o1, o2 = device_walk.decode_bundle(
                 bundle, pend.get("Bp", B), pend["L"]
@@ -355,8 +354,6 @@ class BatchAligner:
                 device_walk.pair_path(o1, o2, k) for k in range(count)
             ]
         elif pend["kind"] == "device_walk_sharded":
-            from .ops import device_walk
-
             bundles = np.asarray(pend["bundles"])  # (D, len)
             D, L = bundles.shape[0], pend["L"]
             Bp = B // D
@@ -376,8 +373,6 @@ class BatchAligner:
             # one bucket share every dispatch condition, so mixed kinds
             # can only mean a bug upstream — fail loudly rather than
             # stitch wrong pointers.
-            from .ops import device_walk
-
             kinds = {part["kind"] for _, part in pend["parts"]}
             assert len(kinds) == 1, f"mixed chunk kinds in bucket: {kinds}"
             stats_parts = []
@@ -582,14 +577,12 @@ class BatchAligner:
                     ),
                 }
         if not score_only and self.device_walk:
-            from .ops import device_walk
-
             tb, stats = batch_ops.fill_pallas_dev(
                 S, n, m, mode=self.mode, og=self.config.og,
                 eg=self.config.eg, score_only=False, interpret=interp,
                 masked_s=masked_s,
             )
-            L = codes1.shape[1] + codes2.shape[1] + 2
+            L = device_walk.max_path_len(codes1.shape[1], codes2.shape[1])
             bundle = device_walk.walk_bundle(
                 tb, stats, jnp.asarray(n, jnp.int32),
                 jnp.asarray(m, jnp.int32), mode=self.mode, L=L,

@@ -34,8 +34,9 @@ from ..config import CELL_GAPINX, CELL_GAPINY, CELL_MATCH, CELL_STOP, LOCAL
 SENTINEL = -3  # path rows past a pair's end (distinct from -1 = gap)
 
 
-def bundle_len(B: int, L: int) -> int:
-    return 8 * B + 2 * L * B
+def max_path_len(np_pad: int, mp_pad: int) -> int:
+    """Walk-buffer row count for a bucket: the longest possible path."""
+    return np_pad + mp_pad + 2
 
 
 @partial(jax.jit, static_argnames=("mode", "L"))
