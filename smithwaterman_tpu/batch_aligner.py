@@ -68,6 +68,25 @@ def _start_host_copies(pend) -> None:
 _WALK_MAX_TB = (1 << 31) - 1
 
 
+def _decode_sharded_part(part, Bp_total: int, count: int):
+    """Decode one device_walk_sharded pend/part: per-shard bundles
+    (D, len) -> (stats (Bp_total, 8), idx list for the first ``count``
+    pairs).  Shard-major row order == pair order."""
+    bundles = np.asarray(part["bundles"])  # (D, len)
+    D, L = bundles.shape[0], part["L"]
+    Bp = Bp_total // D
+    stats_parts, idx = [], []
+    for d in range(D):
+        st, o1, o2 = device_walk.decode_bundle(bundles[d], Bp, L)
+        stats_parts.append(st)
+        remaining = count - d * Bp
+        idx.extend(
+            device_walk.pair_path(o1, o2, k)
+            for k in range(max(0, min(Bp, remaining)))
+        )
+    return np.concatenate(stats_parts, axis=0), idx
+
+
 def _pow2_chunks(G: int, cap: int = 8) -> List[int]:
     """Split G tile groups into power-of-two chunk sizes <= cap (largest
     first), so kernel programs (shape-specialized on G) are reused across
@@ -304,19 +323,38 @@ class BatchAligner:
             and tb_bytes // self.device_axis.n_devices <= _WALK_MAX_TB
         ):
             # sharded fill + device walk: pointers stay on their shard,
-            # one small bundle per device comes back
-            masked_s = self._masked_s(n, m)
-            S = self._scores(
-                codes1, codes2, tile,
-                n=n if masked_s else None, m=m if masked_s else None,
-            )
+            # one small bundle per device comes back.  Chunked into
+            # power-of-two groups-per-shard units so compiled programs are
+            # reused across batch sizes (same compile-storm fix as
+            # _dispatch_pallas; shapes here carry a D*chunk leading axis).
+            nd = self.device_axis.n_devices
             L = device_walk.max_path_len(codes1.shape[1], codes2.shape[1])
-            bundles = self.device_axis.fill_walk_bundle(
-                S, n, m, mode=self.mode, og=og, eg=eg, L=L,
-                interpret=self.backend == "pallas_interpret",
-                masked_s=masked_s,
-            )
-            pend.update(kind="device_walk_sharded", bundles=bundles, L=L)
+            Gs = codes1.shape[0] // (tile * nd)  # groups per shard
+            parts = []
+            g0 = 0
+            for gc in _pow2_chunks(Gs, cap=8):
+                lo, hi = g0 * tile * nd, (g0 + gc) * tile * nd
+                cnt = max(0, min(count, hi) - lo)
+                masked_s = self._masked_s(n[lo:hi], m[lo:hi])
+                S = self._scores(
+                    codes1[lo:hi], codes2[lo:hi], tile,
+                    n=n[lo:hi] if masked_s else None,
+                    m=m[lo:hi] if masked_s else None,
+                )
+                bundles = self.device_axis.fill_walk_bundle(
+                    S, n[lo:hi], m[lo:hi], mode=self.mode, og=og, eg=eg,
+                    L=L, interpret=self.backend == "pallas_interpret",
+                    masked_s=masked_s,
+                )
+                parts.append((cnt, {
+                    "kind": "device_walk_sharded", "bundles": bundles,
+                    "L": L, "Bp": hi - lo,
+                }))
+                g0 += gc
+            if len(parts) == 1:
+                pend.update(parts[0][1])
+            else:
+                pend.update(kind="multi", parts=parts)
         elif self.backend in ("pallas", "pallas_interpret"):
             tb_t, stats = self._fill_pallas(
                 codes1, codes2, n, m, score_only, tile
@@ -354,19 +392,9 @@ class BatchAligner:
                 device_walk.pair_path(o1, o2, k) for k in range(count)
             ]
         elif pend["kind"] == "device_walk_sharded":
-            bundles = np.asarray(pend["bundles"])  # (D, len)
-            D, L = bundles.shape[0], pend["L"]
-            Bp = B // D
-            stats_parts, idx_ready = [], []
-            for d in range(D):
-                st, o1, o2 = device_walk.decode_bundle(bundles[d], Bp, L)
-                stats_parts.append(st)
-                remaining = count - d * Bp
-                idx_ready.extend(
-                    device_walk.pair_path(o1, o2, k)
-                    for k in range(max(0, min(Bp, remaining)))
-                )
-            stats = np.concatenate(stats_parts, axis=0)
+            stats, idx_ready = _decode_sharded_part(
+                pend, pend.get("Bp", B), count
+            )
         elif pend["kind"] == "multi":
             # power-of-two G chunks (see _dispatch_pallas): resolve each
             # part, then stitch per-pair views back together.  Chunks of
@@ -389,6 +417,10 @@ class BatchAligner:
                         device_walk.pair_path(o1, o2, k)
                         for k in range(cnt)
                     )
+                elif part["kind"] == "device_walk_sharded":
+                    st, idx = _decode_sharded_part(part, part["Bp"], cnt)
+                    stats_parts.append(st[:cnt])
+                    idx_parts.extend(idx)
                 else:  # pallas_async (score-only) / ready (host walk)
                     if part["kind"] == "ready":
                         gt, st = part["get_tb"], part["stats"]

@@ -208,3 +208,36 @@ def test_sharded_host_walk_fallback_matches():
     for d, h in zip(dev, host):
         assert (d.score, d.aligned1, d.aligned2) == (
             h.score, h.aligned1, h.aligned2)
+
+
+def test_sharded_pow2_chunking_matches_single():
+    """Sharded buckets also stream through pow2 groups-per-shard chunks
+    (compile reuse across batch sizes); results identical to Aligner."""
+    rng = np.random.default_rng(23)
+    letters = list("ARNDCQEGHILKMFPSTWYV")
+    pairs = [
+        ("".join(rng.choice(letters, rng.integers(5, 30))),
+         "".join(rng.choice(letters, rng.integers(5, 30))))
+        for _ in range(190)  # Gs=3 at tile 8 x 8 devices -> chunks [2, 1]
+    ]
+    dp = DataParallel(make_mesh(8))
+    ba = BatchAligner(
+        backend="pallas_interpret", device_axis=dp, tile_pairs=8
+    )
+    seen = {}
+    orig = ba._dispatch_bucket
+
+    def spy(bk, so, _o=orig, _s=seen):
+        pend = _o(bk, so)
+        _s.setdefault(pend["kind"], 0)
+        _s[pend["kind"]] += 1
+        return pend
+
+    ba._dispatch_bucket = spy
+    got = ba.align_pairs(pairs)
+    assert seen.get("multi"), f"sharded multi path not exercised: {seen}"
+    single = Aligner(mode=LOCAL)
+    for p, r in zip(pairs, got):
+        w = single.align(p[0], p[1], True)
+        assert (r.score, r.aligned1, r.aligned2) == (
+            w.score, w.aligned1, w.aligned2)
