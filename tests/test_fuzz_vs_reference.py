@@ -125,3 +125,21 @@ def test_fuzz_scores_vs_reference_perl():
         assert aligner.score(s1, s2) == pytest.approx(_ref_perl_score(s1, s2)), (
             k, s1, s2,
         )
+
+
+def test_fuzz_batch_device_walk_vs_reference(tmp_path):
+    """The production batch path (pallas kernel + on-device walk,
+    interpret mode here) differentially fuzzed against the reference's
+    own Python engine — random pairs, one bucketed batch call."""
+    from smithwaterman_tpu import BatchAligner
+
+    rng = np.random.default_rng(31337)
+    pairs = [_rand_pair(rng) for _ in range(16)]
+    ba = BatchAligner(mode=LOCAL, backend="pallas_interpret")
+    assert ba.device_walk
+    got = ba.align_pairs(pairs)
+    for k, ((s1, s2), r) in enumerate(zip(pairs, got)):
+        want_score, w1, w2 = _ref_align(tmp_path, s1, s2)
+        assert r.score == pytest.approx(want_score), (k, s1, s2)
+        assert trim_terminal(r.aligned1, r.aligned2) == trim_terminal(
+            w1, w2), (k, s1, s2)
