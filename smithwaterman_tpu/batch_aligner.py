@@ -44,22 +44,42 @@ def _copy_async(arr) -> None:
         pass
 
 
-def _start_host_copies(pend) -> None:
-    """Kick off device->host copies for every fetchable piece of a
-    dispatched bucket so the finish phase's np.asarray calls overlap."""
+def _host_fetchables(pend):
+    """Yield (setter, device_array) for every fetchable piece of a
+    dispatched bucket, so all buckets' device->host transfers can run as
+    ONE batched jax.device_get: per-array np.asarray syncs serialize a
+    round trip each (~3.7x slower on remote devices, measured)."""
     kind = pend.get("kind")
     if kind == "device_walk":
-        _copy_async(pend["bundle"])
+        yield (lambda h, _p=pend: _p.__setitem__("bundle", h),
+               pend["bundle"])
     elif kind == "device_walk_sharded":
-        _copy_async(pend["bundles"])
+        yield (lambda h, _p=pend: _p.__setitem__("bundles", h),
+               pend["bundles"])
     elif kind == "pallas_async":
         pf = pend["pf"]
-        _copy_async(pf.stats_dev)
-        for p in pf.pieces or ():
-            _copy_async(p)
+        yield (lambda h, _pf=pf: setattr(_pf, "stats_dev", h), pf.stats_dev)
+        for i, p in enumerate(pf.pieces or ()):
+            yield (lambda h, _l=pf.pieces, _i=i: _l.__setitem__(_i, h), p)
     elif kind == "multi":
         for _, part in pend["parts"]:
-            _start_host_copies(part)
+            yield from _host_fetchables(part)
+
+
+def _gather_host(pending) -> None:
+    """Fetch every bucket's results to host in one batched transfer,
+    writing numpy arrays back into the pend structures (the finish
+    phase's np.asarray calls then cost nothing)."""
+    setters, arrs = [], []
+    for _, pend in pending:
+        for setter, arr in _host_fetchables(pend):
+            setters.append(setter)
+            arrs.append(arr)
+            _copy_async(arr)  # start the copy; device_get then overlaps
+    if not arrs:
+        return
+    for setter, h in zip(setters, jax.device_get(arrs)):
+        setter(h)
 
 
 # largest pointer array the device walk may gather from: walk_bundle's
@@ -224,11 +244,10 @@ class BatchAligner:
             (bk, self._dispatch_bucket(bk, score_only))
             for bk in buckets.values()
         ]
-        # start every bucket's device->host copy before blocking on any:
-        # each synchronous fetch costs a ~25 ms round trip on remote
-        # devices, and they serialize without this (REFBENCH_r03)
-        for _, pend in pending:
-            _start_host_copies(pend)
+        # fetch every bucket's results in ONE batched transfer before the
+        # finish loop: per-bucket synchronous fetches cost a round trip
+        # each and serialize without this (REFBENCH_r03)
+        _gather_host(pending)
         for bk, pend in pending:
             self._finish_bucket(bk, pend, seqs, results, retain_all,
                                 score_only)
