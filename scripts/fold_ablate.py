@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smithwaterman_tpu.parallel import make_mesh, seq_tiled
+from smithwaterman_tpu.parallel import seq_tiled
 from smithwaterman_tpu.config import LOCAL
 
 NS, MS = 2048, 65536
