@@ -117,3 +117,25 @@ def test_explicit_longseq_cells_still_forces_longseq():
     for x, y in zip(a, b):
         assert (x.aligned1, x.aligned2, x.score) == (
             y.aligned1, y.aligned2, y.score)
+
+
+def test_sharded_device_walk_zero_penalties():
+    """og=eg=0 (normalize_boundary_state territory) through the SHARDED
+    device walk must match the unsharded host walk."""
+    from smithwaterman_tpu.parallel import DataParallel, make_mesh
+
+    rng = np.random.default_rng(41)
+    pairs = _rand_pairs(rng, 6, lo=2, hi=40)
+    for mode in (swt.LOCAL, swt.GLOBAL, swt.GLOCAL):
+        sharded = swt.BatchAligner(
+            mode=mode, gap_open=0.0, gap_extend=0.0,
+            backend="pallas_interpret",
+            device_axis=DataParallel(make_mesh(8)),
+        ).align_pairs(pairs)
+        host = swt.BatchAligner(
+            mode=mode, gap_open=0.0, gap_extend=0.0,
+            backend="pallas_interpret", device_walk=False,
+        ).align_pairs(pairs)
+        for d, h in zip(sharded, host):
+            assert (d.aligned1, d.aligned2, d.score) == (
+                h.aligned1, h.aligned2, h.score)
