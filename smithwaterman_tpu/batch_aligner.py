@@ -50,12 +50,10 @@ def _host_fetchables(pend):
     ONE batched jax.device_get: per-array np.asarray syncs serialize a
     round trip each (~3.7x slower on remote devices, measured)."""
     kind = pend.get("kind")
-    if kind == "device_walk":
-        yield (lambda h, _p=pend: _p.__setitem__("bundle", h),
-               pend["bundle"])
-    elif kind == "device_walk_sharded":
-        yield (lambda h, _p=pend: _p.__setitem__("bundles", h),
-               pend["bundles"])
+    if kind in ("device_walk", "device_walk_sharded"):
+        for key in ("stats_d", "idx_d"):
+            yield (lambda h, _p=pend, _k=key: _p.__setitem__(_k, h),
+                   pend[key])
     elif kind == "pallas_async":
         pf = pend["pf"]
         yield (lambda h, _pf=pf: setattr(_pf, "stats_dev", h), pf.stats_dev)
@@ -89,15 +87,16 @@ _WALK_MAX_TB = (1 << 31) - 1
 
 
 def _decode_sharded_part(part, Bp_total: int, count: int):
-    """Decode one device_walk_sharded pend/part: per-shard bundles
-    (D, len) -> (stats (Bp_total, 8), idx list for the first ``count``
-    pairs).  Shard-major row order == pair order."""
-    bundles = np.asarray(part["bundles"])  # (D, len)
-    D, L = bundles.shape[0], part["L"]
+    """Decode one device_walk_sharded pend/part: per-shard stats/idx
+    (leading D axis) -> (stats (Bp_total, 8), idx list for the first
+    ``count`` pairs).  Shard-major row order == pair order."""
+    stats_sh = np.asarray(part["stats_d"])  # (D, Bp, 8)
+    idx_sh = np.asarray(part["idx_d"])      # (D, 2, L, Bp)
+    D = stats_sh.shape[0]
     Bp = Bp_total // D
     stats_parts, idx = [], []
     for d in range(D):
-        st, o1, o2 = device_walk.decode_bundle(bundles[d], Bp, L)
+        st, o1, o2 = device_walk.decode_bundle(stats_sh[d], idx_sh[d])
         stats_parts.append(st)
         remaining = count - d * Bp
         idx.extend(
@@ -360,14 +359,14 @@ class BatchAligner:
                     n=n[lo:hi] if masked_s else None,
                     m=m[lo:hi] if masked_s else None,
                 )
-                bundles = self.device_axis.fill_walk_bundle(
+                stats_d, idx_d = self.device_axis.fill_walk_bundle(
                     S, n[lo:hi], m[lo:hi], mode=self.mode, og=og, eg=eg,
                     L=L, interpret=self.backend == "pallas_interpret",
                     masked_s=masked_s,
                 )
                 parts.append((cnt, {
-                    "kind": "device_walk_sharded", "bundles": bundles,
-                    "L": L, "Bp": hi - lo,
+                    "kind": "device_walk_sharded", "stats_d": stats_d,
+                    "idx_d": idx_d, "L": L, "Bp": hi - lo,
                 }))
                 g0 += gc
             if len(parts) == 1:
@@ -403,9 +402,8 @@ class BatchAligner:
             get_tb, stats = pend["pf"].fetch()
             walk = traceback.walk_tiled
         elif pend["kind"] == "device_walk":
-            bundle = np.asarray(pend["bundle"])
             stats, o1, o2 = device_walk.decode_bundle(
-                bundle, pend.get("Bp", B), pend["L"]
+                pend["stats_d"], pend["idx_d"]
             )
             idx_ready = [
                 device_walk.pair_path(o1, o2, k) for k in range(count)
@@ -427,9 +425,8 @@ class BatchAligner:
             tb_parts = []
             for cnt, part in pend["parts"]:
                 if part["kind"] == "device_walk":
-                    bundle = np.asarray(part["bundle"])
                     st, o1, o2 = device_walk.decode_bundle(
-                        bundle, part["Bp"], part["L"]
+                        part["stats_d"], part["idx_d"]
                     )
                     stats_parts.append(st[:cnt])
                     idx_parts.extend(
@@ -634,12 +631,12 @@ class BatchAligner:
                 masked_s=masked_s,
             )
             L = device_walk.max_path_len(codes1.shape[1], codes2.shape[1])
-            bundle = device_walk.walk_bundle(
+            stats_d, idx_d = device_walk.walk_bundle(
                 tb, stats, jnp.asarray(n, jnp.int32),
                 jnp.asarray(m, jnp.int32), mode=self.mode, L=L,
             )
-            return {"kind": "device_walk", "bundle": bundle, "L": L,
-                    "Bp": codes1.shape[0]}
+            return {"kind": "device_walk", "stats_d": stats_d,
+                    "idx_d": idx_d, "L": L, "Bp": codes1.shape[0]}
         pf = batch_ops.fill_pallas_async(
             S, n, m, mode=self.mode, og=self.config.og, eg=self.config.eg,
             count=count, score_only=score_only, interpret=interp,

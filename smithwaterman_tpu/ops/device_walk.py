@@ -48,11 +48,13 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
       stats: (G, T, 8) f32 kernel stats (best, best_i, best_j, finals...).
       n, m:  (B,) int32 true lengths (B = G*T).
       mode:  alignment mode (static).
-      L:     max path length (static; use NP + MP + 2).
+      L:     max path length (static; use max_path_len(NP, MP)).
 
-    Returns: (8*B + 2*L*B,) int32 bundle: [stats bitcast f32->i32 (B*8),
-      idx1 (L*B), idx2 (L*B)], idx rows in walk order (host reverses),
-      SENTINEL past each pair's path end.
+    Returns ``(stats (B, 8) f32, idx (2, L, B))``: idx[0]/idx[1] are the
+    aligned index rows in walk order (host reverses), SENTINEL past each
+    pair's path end.  idx is int16 when both padded lengths fit (halves
+    the device->host transfer, which is mostly SENTINEL padding — L is
+    the worst-case path length), int32 otherwise.
     """
     G, NP, T, MP = tb.shape
     B = G * T
@@ -116,20 +118,18 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
     _, _, _, _, _, out1, out2 = jax.lax.while_loop(
         cond, body, (jnp.int32(0), i0, j0, s0, done0, out1, out2)
     )
-    sbits = jax.lax.bitcast_convert_type(
-        st[:, :8].astype(jnp.float32), jnp.int32
-    ).reshape(-1)
-    return jnp.concatenate([sbits, out1.reshape(-1), out2.reshape(-1)])
+    idx = jnp.stack([out1, out2])  # (2, L, B)
+    if max(NP, MP) < 2**15:  # indices (and SENTINEL) fit int16
+        idx = idx.astype(jnp.int16)
+    return st[:, :8].astype(jnp.float32), idx
 
 
-def decode_bundle(
-    bundle: np.ndarray, B: int, L: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Split a fetched bundle into (stats (B, 8) f32, idx1 (L, B), idx2)."""
-    stats = bundle[: 8 * B].view(np.float32).reshape(B, 8)
-    idx1 = bundle[8 * B: 8 * B + L * B].reshape(L, B)
-    idx2 = bundle[8 * B + L * B:].reshape(L, B)
-    return stats, idx1, idx2
+def decode_bundle(stats, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host view of a fetched walk bundle: (stats (B, 8) f32,
+    idx1 (L, B), idx2 (L, B))."""
+    stats = np.asarray(stats)
+    idx = np.asarray(idx)
+    return stats, idx[0], idx[1]
 
 
 def pair_path(idx1: np.ndarray, idx2: np.ndarray, k: int):

@@ -75,16 +75,16 @@ def _sharded_walk_fn(mesh, mode, og, eg, interpret, masked_s, L):
             S_l, n_l, m_l, mode=mode, og=og, eg=eg,
             score_only=False, interpret=interpret, masked_s=masked_s,
         )
-        bundle = device_walk.walk_bundle(
+        st, idx = device_walk.walk_bundle(
             tb, stats, n_l.reshape(-1), m_l.reshape(-1), mode=mode, L=L
         )
-        return bundle[None]  # (1, len): concat over shards on axis 0
+        return st[None], idx[None]  # leading axis: concat over shards
 
     spec = P("data")
     return jax.jit(
         jax.shard_map(
             local_fill_walk, mesh=mesh, in_specs=(spec, spec, spec),
-            out_specs=spec, check_vma=False,
+            out_specs=(spec, spec), check_vma=False,
         )
     )
 
@@ -158,9 +158,9 @@ class DataParallel:
         interpret: bool = False,
         masked_s: bool = False,
     ):
-        """Fill + device walk, sharded; returns a DEVICE (D, len) array of
-        per-shard bundles (decode each with ops.device_walk.decode_bundle,
-        Bp = B // D pairs per shard, global pair order = shard-major)."""
+        """Fill + device walk, sharded; returns DEVICE arrays
+        (stats (D, Bp, 8) f32, idx (D, 2, L, Bp)) — decode per shard with
+        ops.device_walk.decode_bundle; global pair order = shard-major."""
         G, _, tile, _ = S_tiled.shape
         if G % self.n_devices:
             raise ValueError(

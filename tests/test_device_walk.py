@@ -72,19 +72,29 @@ def test_device_walk_score_only_unaffected():
 def test_decode_bundle_roundtrip():
     B, L = 4, 10
     stats = np.arange(B * 8, dtype=np.float32).reshape(B, 8)
-    i1 = np.full((L, B), device_walk.SENTINEL, np.int32)
-    i2 = np.full((L, B), device_walk.SENTINEL, np.int32)
+    i1 = np.full((L, B), device_walk.SENTINEL, np.int16)
+    i2 = np.full((L, B), device_walk.SENTINEL, np.int16)
     i1[:3, 1] = [5, -1, 4]
     i2[:3, 1] = [7, 6, -1]
-    bundle = np.concatenate(
-        [stats.view(np.int32).reshape(-1), i1.reshape(-1), i2.reshape(-1)]
-    )
-    s2, o1, o2 = device_walk.decode_bundle(bundle, B, L)
+    s2, o1, o2 = device_walk.decode_bundle(stats, np.stack([i1, i2]))
     np.testing.assert_array_equal(s2, stats)
     a, b = device_walk.pair_path(o1, o2, 1)
     assert a == [4, -1, 5] and b == [-1, 6, 7]
     a, b = device_walk.pair_path(o1, o2, 0)
     assert a == [] and b == []
+
+
+def test_walk_bundle_idx_dtype():
+    """Indices pack as int16 when the padded lengths allow (halves the
+    device->host transfer, mostly SENTINEL padding)."""
+    import jax.numpy as jnp
+
+    tb = jnp.zeros((1, 8, 8, 8), jnp.uint8)
+    st = jnp.zeros((1, 8, 8), jnp.float32)
+    n = jnp.full(8, 4, jnp.int32)
+    m = jnp.full(8, 4, jnp.int32)
+    stats, idx = device_walk.walk_bundle(tb, st, n, m, mode=swt.LOCAL, L=18)
+    assert idx.dtype == jnp.int16 and stats.dtype == jnp.float32
 
 
 def test_hbm_budget_routes_large_buckets_to_device_walk():
