@@ -137,6 +137,8 @@ def _use_finals_gate(mode: int, score_only: bool, rb_rows: int) -> bool:
     PREFERS the gate (43.1 vs 41.5) and multi-group traceback blocks do
     too (512^2 tb: 34.0 vs 33.0).  See MEASUREMENTS_r02.md
     "finals_gate shape rule"."""
+    if os.environ.get("SWTPU_FINALS_GATE") == "force":  # A/B: ignore rule
+        return mode != LOCAL
     return (
         mode != LOCAL
         and _FINALS_GATE
