@@ -97,6 +97,41 @@ def test_walk_bundle_idx_dtype():
     assert idx.dtype == jnp.int16 and stats.dtype == jnp.float32
 
 
+def test_walk_bundle_int32_branch_matches_host_walk():
+    """Padded length >= 2**15 keeps the index payload int32 (the int16
+    pack would truncate); the long-axis walk must stay bit-identical to
+    the host walker at row indices beyond int16 range."""
+    import jax.numpy as jnp
+
+    from smithwaterman_tpu.ops import traceback as tbmod
+
+    G, T, NP, MP = 1, 8, 2**15 + 2048, 64
+    rng = np.random.default_rng(17)
+    # packed 2-bit prev fields constrained to real states (0..2): random
+    # pointer mazes terminate (every step decreases i and/or j)
+    fields = rng.integers(0, 3, size=(NP, T, MP, 3), dtype=np.uint8)
+    tb_np = fields[..., 0] | (fields[..., 1] << 2) | (fields[..., 2] << 4)
+    n = rng.integers(NP - 100, NP + 1, size=T).astype(np.int32)
+    n[0] = NP  # row indices up to NP-1 > 32767: int16 would truncate
+    m = rng.integers(MP - 16, MP, size=T).astype(np.int32)
+    st = np.zeros((G, T, 8), np.float32)
+    st[:, :, 3] = 1.0  # finalM wins the first-max state tie -> state 0
+    L = device_walk.max_path_len(NP, MP)
+    stats, idx = device_walk.walk_bundle(
+        jnp.asarray(tb_np[None]), jnp.asarray(st), jnp.asarray(n),
+        jnp.asarray(m), mode=swt.GLOBAL, L=L,
+    )
+    assert idx.dtype == jnp.int32
+    _, i1, i2 = device_walk.decode_bundle(stats, idx)
+    for k in range(T):
+        a, b = device_walk.pair_path(i1, i2, k)
+        ra, rb = tbmod.walk_tiled(
+            tb_np[:, k, :], int(n[k]), int(m[k]), 0, local=False)
+        assert a == ra and b == rb
+    a0, _ = device_walk.pair_path(i1, i2, 0)
+    assert max(a0) == NP - 1 > 2**15 - 1  # int16 would have truncated
+
+
 def test_hbm_budget_routes_large_buckets_to_device_walk():
     """Under the device walk, former longseq-sized buckets stay on the
     plain path until the pointer array exceeds the HBM budget (the
