@@ -39,6 +39,62 @@ def max_path_len(np_pad: int, mp_pad: int) -> int:
     return np_pad + mp_pad + 2
 
 
+def _walk_starts(tb, stats, n, m, mode: int):
+    """Shared walk-start setup: flattened pointers, per-pair start cell,
+    start state, and the already-done mask (local zero-score pairs)."""
+    G, NP, T, MP = tb.shape
+    B = G * T
+    st = stats.reshape(B, stats.shape[-1])
+    if mode == LOCAL:
+        i0 = st[:, 1].astype(jnp.int32)
+        j0 = st[:, 2].astype(jnp.int32)
+        s0 = jnp.full((B,), CELL_MATCH, jnp.int32)
+        done0 = st[:, 0] <= 0.0  # nothing aligned (rs:346-348)
+        i0 = jnp.where(done0, 0, i0)
+        j0 = jnp.where(done0, 0, j0)
+    else:
+        i0 = n.astype(jnp.int32)
+        j0 = m.astype(jnp.int32)
+        s0 = jnp.argmax(st[:, 3:6], axis=1).astype(jnp.int32)  # first max
+        done0 = jnp.zeros((B,), bool)
+    return st, i0, j0, s0, done0
+
+
+def _walk_step(tb, step, i, j, s, done, *, local: bool):
+    """One lockstep walk step for every pair: returns
+    (emit, s_norm, r1, r2, ni, nj, ns, ndone).  Semantics are bit-identical
+    to ops/traceback.walk_tiled (see module docstring)."""
+    G, NP, T, MP = tb.shape
+    B = G * T
+    flat = tb.reshape(-1)
+    g = jnp.arange(B, dtype=jnp.int32) // T
+    t = jnp.arange(B, dtype=jnp.int32) % T
+    # normalize_boundary_state (ops/traceback.py:233-249)
+    s = jnp.where((j == 0) & (i > 0), CELL_GAPINY,
+                  jnp.where((i == 0) & (j > 0), CELL_GAPINX, s))
+    interior = (i >= 1) & (j >= 1)
+    ii = jnp.clip(i - 1, 0, NP - 1)
+    jj = jnp.clip(j - 1, 0, MP - 1)
+    ptr = flat[((g * NP + ii) * T + t) * MP + jj].astype(jnp.int32)
+    prev_in = (ptr >> (2 * s)) & 3
+    # _boundary_prev closed form (ops/traceback.py:215-230)
+    origin = (i == 0) & (j == 0)
+    row0 = (i == 0) & (j > 0)
+    bstate = jnp.where(origin, CELL_MATCH,
+                       jnp.where(row0, CELL_GAPINX, CELL_GAPINY))
+    bprev = jnp.where(local & (s == bstate), CELL_STOP, bstate)
+    prev = jnp.where(interior, prev_in, bprev)
+    stop = local & (prev == CELL_STOP)
+    emit = (~done) & (~stop)
+    r1 = jnp.where(s == CELL_GAPINX, -1, i - 1)
+    r2 = jnp.where(s == CELL_GAPINY, -1, j - 1)
+    ni = jnp.where(emit & (s != CELL_GAPINX), i - 1, i)
+    nj = jnp.where(emit & (s != CELL_GAPINY), j - 1, j)
+    ns = jnp.where(emit, prev, s)
+    ndone = done | stop | ((ni == 0) & (nj == 0))
+    return emit, s, r1, r2, ni, nj, ns, ndone
+
+
 @partial(jax.jit, static_argnames=("mode", "L"))
 def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
     """Walk every pair of a bucket on device.
@@ -55,27 +111,15 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
     pair's path end.  idx is int16 when both padded lengths fit (halves
     the device->host transfer, which is mostly SENTINEL padding — L is
     the worst-case path length), int32 otherwise.
+
+    Prefer :func:`walk_bundle_packed` (4 moves/byte — an 8-16x smaller
+    transfer); this index form remains for consumers that want explicit
+    index rows.
     """
     G, NP, T, MP = tb.shape
     B = G * T
     local = mode == LOCAL
-    flat = tb.reshape(-1)
-    st = stats.reshape(B, stats.shape[-1])
-    g = jnp.arange(B, dtype=jnp.int32) // T
-    t = jnp.arange(B, dtype=jnp.int32) % T
-
-    if local:
-        i0 = st[:, 1].astype(jnp.int32)
-        j0 = st[:, 2].astype(jnp.int32)
-        s0 = jnp.full((B,), CELL_MATCH, jnp.int32)
-        done0 = st[:, 0] <= 0.0  # nothing aligned (rs:346-348)
-        i0 = jnp.where(done0, 0, i0)
-        j0 = jnp.where(done0, 0, j0)
-    else:
-        i0 = n.astype(jnp.int32)
-        j0 = m.astype(jnp.int32)
-        s0 = jnp.argmax(st[:, 3:6], axis=1).astype(jnp.int32)  # first max
-        done0 = jnp.zeros((B,), bool)
+    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
 
     out1 = jnp.full((L, B), SENTINEL, jnp.int32)
     out2 = jnp.full((L, B), SENTINEL, jnp.int32)
@@ -86,33 +130,13 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
 
     def body(c):
         step, i, j, s, done, o1, o2 = c
-        # normalize_boundary_state (ops/traceback.py:233-249)
-        s = jnp.where((j == 0) & (i > 0), CELL_GAPINY,
-                      jnp.where((i == 0) & (j > 0), CELL_GAPINX, s))
-        interior = (i >= 1) & (j >= 1)
-        ii = jnp.clip(i - 1, 0, NP - 1)
-        jj = jnp.clip(j - 1, 0, MP - 1)
-        ptr = flat[((g * NP + ii) * T + t) * MP + jj].astype(jnp.int32)
-        prev_in = (ptr >> (2 * s)) & 3
-        # _boundary_prev closed form (ops/traceback.py:215-230)
-        origin = (i == 0) & (j == 0)
-        row0 = (i == 0) & (j > 0)
-        bstate = jnp.where(origin, CELL_MATCH,
-                           jnp.where(row0, CELL_GAPINX, CELL_GAPINY))
-        bprev = jnp.where(local & (s == bstate), CELL_STOP, bstate)
-        prev = jnp.where(interior, prev_in, bprev)
-        stop = local & (prev == CELL_STOP)
-        emit = (~done) & (~stop)
-        r1 = jnp.where(s == CELL_GAPINX, -1, i - 1)
-        r2 = jnp.where(s == CELL_GAPINY, -1, j - 1)
+        emit, s, r1, r2, ni, nj, ns, ndone = _walk_step(
+            tb, step, i, j, s, done, local=local
+        )
         o1 = jax.lax.dynamic_update_index_in_dim(
             o1, jnp.where(emit, r1, SENTINEL), step, 0)
         o2 = jax.lax.dynamic_update_index_in_dim(
             o2, jnp.where(emit, r2, SENTINEL), step, 0)
-        ni = jnp.where(emit & (s != CELL_GAPINX), i - 1, i)
-        nj = jnp.where(emit & (s != CELL_GAPINY), j - 1, j)
-        ns = jnp.where(emit, prev, s)
-        ndone = done | stop | ((ni == 0) & (nj == 0))
         return step + 1, ni, nj, ns, ndone, o1, o2
 
     _, _, _, _, _, out1, out2 = jax.lax.while_loop(
@@ -122,6 +146,51 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
     if max(NP, MP) < 2**15:  # indices (and SENTINEL) fit int16
         idx = idx.astype(jnp.int16)
     return st[:, :8].astype(jnp.float32), idx
+
+
+@partial(jax.jit, static_argnames=("mode", "L"))
+def walk_bundle_packed(tb, stats, n, m, *, mode: int, L: int):
+    """Walk every pair of a bucket on device, shipping back packed MOVES.
+
+    The emitted per-step STATE (0..2) fully determines the path given the
+    start cell (which the host already has from ``stats``/lengths), so the
+    bundle is just 2 bits per step — an 8-16x smaller device->host
+    transfer than the index form, and the host replays it straight into
+    alignment strings (csrc/reconstruct.cpp).
+
+    Returns ``(stats (B, 8) f32, cnt (B,) int32, moves (ceil(L/4), B)
+    uint8)``: move ``t`` of pair ``k`` is ``(moves[t >> 2, k] >>
+    ((t & 3) * 2)) & 3``, valid for ``t < cnt[k]`` (walk order: t = 0 is
+    the path's END cell).
+    """
+    G, NP, T, MP = tb.shape
+    B = G * T
+    local = mode == LOCAL
+    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
+
+    Lp = -(-L // 4) * 4
+    out_s = jnp.zeros((Lp, B), jnp.uint8)
+    cnt0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(c):
+        step, done = c[0], c[4]
+        return (step < L) & jnp.any(~done)
+
+    def body(c):
+        step, i, j, s, done, cnt, o = c
+        emit, s, _, _, ni, nj, ns, ndone = _walk_step(
+            tb, step, i, j, s, done, local=local
+        )
+        o = jax.lax.dynamic_update_index_in_dim(
+            o, jnp.where(emit, s, 0).astype(jnp.uint8), step, 0)
+        return step + 1, ni, nj, ns, ndone, cnt + emit, o
+
+    _, _, _, _, _, cnt, out_s = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, s0, done0, cnt0, out_s)
+    )
+    r = out_s.reshape(Lp // 4, 4, B)
+    moves = r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4) | (r[:, 3] << 6)
+    return st[:, :8].astype(jnp.float32), cnt, moves
 
 
 def decode_bundle(stats, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -138,3 +207,32 @@ def pair_path(idx1: np.ndarray, idx2: np.ndarray, k: int):
     ends = np.nonzero(c1 == SENTINEL)[0]
     cnt = int(ends[0]) if ends.size else c1.shape[0]
     return c1[:cnt][::-1].tolist(), idx2[:cnt, k][::-1].tolist()
+
+
+def unpack_moves(mv_col: np.ndarray, c: int) -> np.ndarray:
+    """(L4,) packed byte column -> (c,) uint8 states, walk order."""
+    b = mv_col[: (c + 3) // 4]
+    s = np.empty(b.shape[0] * 4, np.uint8)
+    s[0::4] = b & 3
+    s[1::4] = (b >> 2) & 3
+    s[2::4] = (b >> 4) & 3
+    s[3::4] = (b >> 6) & 3
+    return s[:c]
+
+
+def moves_to_path(moves: np.ndarray, cnt: np.ndarray, i0: int, j0: int,
+                  k: int):
+    """Replay pair ``k``'s packed move column into left-to-right aligned
+    index lists (the pure-numpy counterpart of csrc/reconstruct.cpp, used
+    when the native library is unavailable)."""
+    c = int(cnt[k])
+    if c == 0:
+        return [], []
+    s = np.asarray(unpack_moves(moves[:, k], c), np.int64)
+    di = (s != CELL_GAPINX).astype(np.int64)
+    dj = (s != CELL_GAPINY).astype(np.int64)
+    ib = i0 - np.concatenate([[0], np.cumsum(di[:-1])])
+    jb = j0 - np.concatenate([[0], np.cumsum(dj[:-1])])
+    r1 = np.where(s == CELL_GAPINX, -1, ib - 1)
+    r2 = np.where(s == CELL_GAPINY, -1, jb - 1)
+    return r1[::-1].tolist(), r2[::-1].tolist()

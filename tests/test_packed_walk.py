@@ -1,0 +1,121 @@
+"""Packed move-stream walk (ops/device_walk.walk_bundle_packed) and the
+bulk native string rebuild (ops/reconstruct.py + csrc/reconstruct.cpp).
+
+Must be bit-identical — strings, score, AND spans — to the index-bundle
+device walk and the per-pair Python reconstruction
+(aligner.reconstruct_alignment, parity: sequence_alignment.rs:469-551).
+"""
+
+import numpy as np
+import pytest
+
+import smithwaterman_tpu as swt
+from smithwaterman_tpu.ops import reconstruct as recon
+
+LETTERS = "ARNDCQEGHILKMFPSTWYVBZX"
+
+
+def _rand_pairs(rng, n_pairs, lo=3, hi=150):
+    def rseq(n):
+        return "".join(rng.choice(list(LETTERS), n))
+
+    return [
+        (rseq(rng.integers(lo, hi)), rseq(rng.integers(lo, hi)))
+        for _ in range(n_pairs)
+    ]
+
+
+def _fields(r):
+    return (r.aligned1, r.aligned2, r.score,
+            r.start1, r.end1, r.start2, r.end2)
+
+
+def _aligner(mode, packed, monkeypatch, **kw):
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1" if packed else "0")
+    return swt.BatchAligner(mode=mode, backend="pallas_interpret",
+                            device_walk=True, **kw)
+
+
+@pytest.mark.parametrize("mode", [swt.LOCAL, swt.GLOBAL, swt.GLOCAL])
+@pytest.mark.parametrize("retain", [True, False])
+def test_packed_matches_index_walk(mode, retain, monkeypatch):
+    rng = np.random.default_rng(mode * 2 + retain + 11)
+    pairs = _rand_pairs(rng, 13)
+    pairs.append(("AAAA", "WWWW"))  # local: nothing aligns (score 0)
+    pairs.append(("A", "A"))
+    packed = _aligner(mode, True, monkeypatch).align_pairs(
+        pairs, retain_all=retain)
+    index = _aligner(mode, False, monkeypatch).align_pairs(
+        pairs, retain_all=retain)
+    for p, i in zip(packed, index):
+        assert _fields(p) == _fields(i)
+
+
+@pytest.mark.parametrize("mode", [swt.LOCAL, swt.GLOBAL, swt.GLOCAL])
+def test_native_reconstruct_matches_python_fallback(mode, monkeypatch):
+    rng = np.random.default_rng(mode + 31)
+    pairs = _rand_pairs(rng, 9, lo=2, hi=80)
+    pairs.append(("AAAA", "WWWW"))
+    native = _aligner(mode, True, monkeypatch).align_pairs(pairs)
+    monkeypatch.setattr(recon, "_lib", lambda: None)
+    fallback = _aligner(mode, True, monkeypatch).align_pairs(pairs)
+    for a, b in zip(native, fallback):
+        assert _fields(a) == _fields(b)
+
+
+def test_packed_zero_penalties_boundary_rule(monkeypatch):
+    # og = eg = 0 exercises normalize_boundary_state inside the device
+    # walk's move emission (PARITY.md deviation; the reference crashes)
+    rng = np.random.default_rng(5)
+    pairs = _rand_pairs(rng, 6, lo=2, hi=40)
+    for mode in (swt.LOCAL, swt.GLOBAL, swt.GLOCAL):
+        packed = _aligner(mode, True, monkeypatch,
+                          gap_open=0.0, gap_extend=0.0).align_pairs(pairs)
+        host = swt.BatchAligner(
+            mode=mode, gap_open=0.0, gap_extend=0.0,
+            backend="pallas_interpret", device_walk=False,
+        ).align_pairs(pairs)
+        for p, h in zip(packed, host):
+            assert _fields(p) == _fields(h)
+
+
+def test_packed_multi_chunk_bucket(monkeypatch):
+    # enough same-bucket pairs to force pow2 G-chunking (multi pend kind)
+    rng = np.random.default_rng(17)
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
+    pairs = _rand_pairs(rng, 40, lo=100, hi=128)
+    ba = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
+                          device_walk=True, tile_pairs=8)
+    packed = ba.align_pairs(pairs)
+    host = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
+                            device_walk=False).align_pairs(pairs)
+    for p, h in zip(packed, host):
+        assert _fields(p) == _fields(h)
+
+
+@pytest.mark.parametrize("mode", [swt.LOCAL, swt.GLOBAL, swt.GLOCAL])
+def test_packed_sharded_matches_host(mode, monkeypatch):
+    """The SHARDED packed walk (per-shard move streams, shard-major
+    stitch) must match the unsharded host walk field-exact."""
+    from smithwaterman_tpu.parallel import DataParallel, make_mesh
+
+    rng = np.random.default_rng(mode + 61)
+    pairs = _rand_pairs(rng, 11, lo=3, hi=120)
+    pairs.append(("AAAA", "WWWW"))
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
+    sharded = swt.BatchAligner(
+        mode=mode, backend="pallas_interpret",
+        device_axis=DataParallel(make_mesh(8)),
+    ).align_pairs(pairs)
+    host = swt.BatchAligner(
+        mode=mode, backend="pallas_interpret", device_walk=False,
+    ).align_pairs(pairs)
+    for d, h in zip(sharded, host):
+        assert _fields(d) == _fields(h)
+
+
+def test_native_reconstruct_available():
+    """Guard: the fast path actually loads in this environment (the
+    equivalence test above would silently compare fallback-vs-fallback
+    otherwise)."""
+    assert recon._lib() is not None
