@@ -203,6 +203,36 @@ def main():
              bucket=f"{NL}x{ML}", engine="checkpoint+refill fallback",
              gcups_effective=round(8 * NL * ML / dt / 1e9, 2))
 
+        # same fallback with ON-DEVICE segment walks + native bulk string
+        # rebuild (align_long_packed, VERDICT r3 task 4); timed end to
+        # end including the host reconstruction
+        from smithwaterman_tpu.ops import reconstruct as recon
+
+        seq1s = ["".join(LET[v] for v in row) for row in c1]
+        seq2s = ["".join(LET[v] for v in row) for row in c2]
+        sd, cd, md = longseq.align_long_packed(
+            S, n, m, mode=LOCAL, og=-10.0, eg=-0.5)  # compile + warm
+        jax.block_until_ready(cd)
+        S3 = batch_ops.scores_tiled(tab, c1, c2, as_int8=True, tile=8)
+        jax.block_until_ready(S3)
+        t0 = time.time()
+        sd, cd, md = longseq.align_long_packed(
+            S3, n, m, mode=LOCAL, og=-10.0, eg=-0.5)
+        st, cnt, mv = map(np.asarray, (sd, cd, md))
+        i0 = np.where(st[:, 0] > 0, st[:, 1], 0).astype(np.int32)
+        j0 = np.where(st[:, 0] > 0, st[:, 2], 0).astype(np.int32)
+        res_p = recon.reconstruct_packed(
+            seq1s, seq2s, mv, cnt, i0, j0,
+            np.maximum(st[:, 0], 0.0), LOCAL, True,
+        )
+        dt = time.time() - t0
+        assert all(r.aligned1 for r in res_p)
+        emit(metric="longseq_packed_align_s", value=round(dt, 3), pairs=8,
+             bucket=f"{NL}x{ML}",
+             engine="checkpoint+refill, device segment walks "
+                    "(align_long_packed) + native rebuild",
+             gcups_effective=round(8 * NL * ML / dt / 1e9, 2))
+
     # striped fill: one very wide pair on the (single-chip) mesh
     if want("striped"):
         from smithwaterman_tpu.parallel import make_mesh

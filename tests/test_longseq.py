@@ -127,3 +127,37 @@ def test_longseq_degenerate_penalties():
         )
         assert idx_lists[b][0] == want[0], f"pair {b} idx1"
         assert idx_lists[b][1] == want[1], f"pair {b} idx2"
+
+
+@pytest.mark.parametrize("mode", [LOCAL, GLOCAL, GLOBAL])
+def test_longseq_packed_matches_host_path(mode):
+    """align_long_packed's device segment walks must replay the exact same
+    paths as align_long's host band walks (same fill_band tie-breaks)."""
+    from smithwaterman_tpu.ops import device_walk
+
+    sm = SubstitutionMatrix.blosum62()
+    codes1, codes2, n, m = _batch()
+    S_tiled = batch.scores_tiled(sm.table, codes1, codes2, as_int8=True, tile=TB)
+
+    idx_lists, stats = longseq.align_long(
+        S_tiled, n, m, mode=mode, og=OG, eg=EG, ckpt_rows=CKPT, interpret=True
+    )
+    stats_d, cnt_d, mv_d = longseq.align_long_packed(
+        S_tiled, n, m, mode=mode, og=OG, eg=EG, ckpt_rows=CKPT,
+        interpret=True,
+    )
+    stats_p = np.asarray(stats_d)
+    cnt = np.asarray(cnt_d)
+    mv = np.asarray(mv_d)
+    np.testing.assert_allclose(stats_p, stats[:, :8])
+    for b in range(TB):
+        if mode == LOCAL and stats[b, 0] <= 0.0:
+            assert cnt[b] == 0
+            continue
+        if mode == LOCAL:
+            i0, j0 = int(stats[b, 1]), int(stats[b, 2])
+        else:
+            i0, j0 = int(n[b]), int(m[b])
+        got = device_walk.moves_to_path(mv, cnt, i0, j0, b)
+        assert got[0] == idx_lists[b][0], f"pair {b} idx1"
+        assert got[1] == idx_lists[b][1], f"pair {b} idx2"
