@@ -90,6 +90,33 @@ def _sharded_walk_fn(mesh, mode, og, eg, interpret, masked_s, L):
 
 
 @functools.lru_cache(maxsize=64)
+def _sharded_walk_packed_fn(mesh, mode, og, eg, interpret, masked_s, L):
+    """Like _sharded_walk_fn, but each shard ships back the packed 2-bit
+    MOVE stream (ops/device_walk.walk_bundle_packed) instead of index
+    rows — an 8-16x smaller all-shards transfer, consumed by the native
+    bulk string rebuild (ops/reconstruct.py)."""
+    from ..ops import device_walk
+
+    def local_fill_walk(S_l, n_l, m_l):
+        tb, stats = pallas_dp.fill_tiled(
+            S_l, n_l, m_l, mode=mode, og=og, eg=eg,
+            score_only=False, interpret=interpret, masked_s=masked_s,
+        )
+        st, cnt, mv = device_walk.walk_bundle_packed(
+            tb, stats, n_l.reshape(-1), m_l.reshape(-1), mode=mode, L=L
+        )
+        return st[None], cnt[None], mv[None]
+
+    spec = P("data")
+    return jax.jit(
+        jax.shard_map(
+            local_fill_walk, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec), check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
 def _sharded_diag_fn(mesh, og, eg, interpret):
     from ..ops import diag_dp
 
@@ -169,6 +196,36 @@ class DataParallel:
         nt = jnp.asarray(np.asarray(n).reshape(G, tile, 1), jnp.int32)
         mt = jnp.asarray(np.asarray(m).reshape(G, tile, 1), jnp.int32)
         fn = _sharded_walk_fn(
+            self.mesh, mode, float(og), float(eg), bool(interpret),
+            bool(masked_s), int(L),
+        )
+        return fn(S_tiled, nt, mt)
+
+    def fill_walk_bundle_packed(
+        self,
+        S_tiled,
+        n: np.ndarray,
+        m: np.ndarray,
+        *,
+        mode: int,
+        og: float,
+        eg: float,
+        L: int,
+        interpret: bool = False,
+        masked_s: bool = False,
+    ):
+        """Fill + packed device walk, sharded; returns DEVICE arrays
+        (stats (D, Bp, 8) f32, cnt (D, Bp) i32, moves (D, ceil(L/4), Bp)
+        u8) — walk_bundle_packed's contract per shard, shard-major pair
+        order."""
+        G, _, tile, _ = S_tiled.shape
+        if G % self.n_devices:
+            raise ValueError(
+                f"tile count {G} not divisible by mesh size {self.n_devices}"
+            )
+        nt = jnp.asarray(np.asarray(n).reshape(G, tile, 1), jnp.int32)
+        mt = jnp.asarray(np.asarray(m).reshape(G, tile, 1), jnp.int32)
+        fn = _sharded_walk_packed_fn(
             self.mesh, mode, float(og), float(eg), bool(interpret),
             bool(masked_s), int(L),
         )
