@@ -66,6 +66,10 @@ class AlignmentOptions:
     matrix: str = "blosum62"
     match: float = 4.0
     mismatch: float = -1.0
+    # -stats: emit the per-bucket observability report (utils/metrics.py:
+    # GCUPS, pairs/s, padding waste) as one JSON line on stderr after the
+    # run.  Extension beyond the reference surface (SURVEY.md §5).
+    stats: bool = False
 
     @classmethod
     def parse(cls, args: List[str]) -> "AlignmentOptions":
@@ -92,6 +96,9 @@ class AlignmentOptions:
                 flag[ii] = True
             elif a in ("-cluster", "-clustering"):
                 ret.clustering = True
+                flag[ii] = True
+            elif a == "-stats":
+                ret.stats = True
                 flag[ii] = True
             elif a == "-coverage_short":
                 ret.c_coverage_short = numeric(ii)
@@ -225,6 +232,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         gap_extend=opts.gap_extend,
         mode=opts.alignment_type,
     )
+    if opts.stats:
+        from .utils.metrics import StatsCollector
+
+        engine.stats = StatsCollector()
     if opts.clustering:
         seqs = load_fasta(opts.file1)
         cluster_of, members, order = greedy_cluster(
@@ -242,6 +253,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         write_cluster_outputs(opts.outfilename, order, cluster_of, members)
     else:
         run_pairfiles(opts, engine)
+    if opts.stats:
+        sys.stderr.write(engine.stats.report() + "\n")
 
 
 if __name__ == "__main__":

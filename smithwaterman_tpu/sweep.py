@@ -33,6 +33,10 @@ class SweepConfig:
     retain_all: bool = False
     process_index: int = 0          # this host's index (multi-host)
     process_count: int = 1
+    # attach a utils.metrics.StatsCollector to the engine for the run and
+    # emit its per-bucket JSON report (GCUPS, padding waste) on stderr
+    # when the sweep call finishes (SURVEY.md §5 observability)
+    stats: bool = False
 
 
 def _pair_indices(n1: int, n2: Optional[int]) -> Iterator[Tuple[int, int]]:
@@ -63,6 +67,10 @@ def sweep(
     ``{"chunk": k, "results": [[i, j, score, (aligned1, aligned2)?], ...]}``.
     """
     cfg = config or SweepConfig()
+    if cfg.stats and engine.stats is None:
+        from .utils.metrics import StatsCollector
+
+        engine.stats = StatsCollector()
     pairs_idx = list(_pair_indices(len(set1), None if set2 is None else len(set2)))
     chunks = _chunks(pairs_idx, cfg.chunk_pairs)
 
@@ -107,6 +115,10 @@ def sweep(
             f.flush()
             os.fsync(f.fileno())
             completed += 1
+    if cfg.stats and engine.stats is not None:
+        import sys
+
+        sys.stderr.write(engine.stats.report() + "\n")
     return completed
 
 

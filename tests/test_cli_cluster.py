@@ -204,3 +204,23 @@ def test_cluster_empty_input(tmp_path):
     main(["-cluster", "-out", str(out), str(inp)])
     assert out.read_text() == ""
     assert (tmp_path / "out.fas.clstr").read_text() == ""
+
+
+def test_stats_flag(tmp_path, capsys):
+    """-stats emits the per-bucket observability report (GCUPS, padding
+    waste) as one JSON line on stderr (SURVEY.md §5, VERDICT r3 weak #6)."""
+    import json
+
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(">s1\nHEAGAWGHEE\n")
+    f2.write_text(">s2\nPAWHEAE\n")
+    main(["-local", "-stats", str(f1), str(f2)])
+    cap = capsys.readouterr()
+    assert cap.out.startswith("#score:")
+    rep = json.loads(cap.err.strip().splitlines()[-1])
+    assert rep["pairs"] == 1
+    assert rep["device_seconds"] > 0
+    assert "true_gcups" in rep and "padded_gcups" in rep
+    (bucket,) = rep["buckets"].values()
+    assert 0.0 <= bucket["padding_waste"] < 1.0

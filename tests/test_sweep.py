@@ -90,3 +90,16 @@ def test_process_sharding(tmp_path):
     assert chunks0.isdisjoint(chunks1)
     total = len(load_sweep(outs[0])) + len(load_sweep(outs[1]))
     assert total == len(SEQS) * (len(SEQS) - 1) // 2
+
+
+def test_sweep_stats_option(tmp_path, capsys):
+    """SweepConfig(stats=True) attaches a collector and emits the JSON
+    report on stderr after the sweep (VERDICT r3 weak #6)."""
+    out = str(tmp_path / "sweep.jsonl")
+    cfg = SweepConfig(chunk_pairs=4, score_only=False, stats=True)
+    eng = _engine()
+    sweep(SEQS, None, eng, out, cfg)
+    rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert rep["pairs"] == 15
+    assert rep["padding_waste"] >= 0.0
+    assert eng.stats is not None
