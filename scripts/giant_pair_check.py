@@ -118,6 +118,20 @@ def main():
     )
     print(f"warm repeat: {time.time() - t0:.2f}s", flush=True)
 
+    # phase breakdown of ONE warm align_banded at each verified width
+    # (VERDICT r3 task 3: fill vs scores vs walk vs host, measured)
+    import json
+
+    from smithwaterman_tpu.ops import banded as banded_ops
+
+    for Wp in (band, band_used):
+        ph = banded_ops.phase_probe(
+            codes1, codes2, sm.table, mode=LOCAL, og=-10.0, eg=-0.5,
+            band=Wp, interpret=interpret,
+        )
+        print(json.dumps({"metric": "banded_phase", "W": Wp, **ph}),
+              flush=True)
+
     ok = ok_band and ok_score and ok_ident
     print("GIANT PAIR " + ("PASS" if ok else "FAIL"), flush=True)
     sys.exit(0 if ok else 1)

@@ -516,6 +516,13 @@ def _banded_scores(c1, c2, table, off_rows, m, *, W: int):
     return jax.vmap(one)(c1, c2, off_rows, m)
 
 
+def _value_read(arr) -> None:
+    """Force execution with a device->host VALUE read of one element (the
+    tunnel's block_until_ready returns early; see CLAUDE.md timing
+    protocol).  Only called on the instrumented path."""
+    np.asarray(arr.reshape(-1)[-1])
+
+
 def align_banded_batch(
     pairs,  # sequence of (codes1, codes2) int arrays, at most TBP of them
     table: np.ndarray,
@@ -525,6 +532,7 @@ def align_banded_batch(
     eg: float,
     band: int,
     interpret: bool = False,
+    timings: Optional[dict] = None,
 ):
     """Banded alignment of up to TBP pairs in ONE kernel run (each pair on
     its own sublane with its own lengths and band offsets).  Returns a list
@@ -534,7 +542,24 @@ def align_banded_batch(
     the band edge, so the result may differ from the full DP — widen the
     band or fall back to the exact fill.  (Banded DP is inherently a
     heuristic; it equals the full DP exactly when the optimal path fits.)
+
+    ``timings``: pass a dict to record per-stage wall seconds (forces a
+    device value-read between stages, so the run itself is slower —
+    diagnosis only, see phase_probe).
     """
+    import time as _time
+
+    def _tick(key, *force):
+        if timings is None:
+            return
+        for a in force:
+            _value_read(a)
+        now = _time.time()
+        timings[key] = round(
+            timings.get(key, 0.0) + now - _tick.t0, 4)
+        _tick.t0 = now
+
+    _tick.t0 = _time.time()
     count = len(pairs)
     assert 1 <= count <= TBP, count
     ns = [len(c1) for c1, _ in pairs]
@@ -573,6 +598,7 @@ def align_banded_batch(
     nv[:count, 0] = ns
     mv[:count, 0] = ms
 
+    _tick("host_prep_s")
     # banded substitution scores built ON DEVICE from the code arrays —
     # only O(n + m) ints per pair cross the host boundary (a replicated f32
     # band matrix over a tunneled TPU link costs minutes)
@@ -584,6 +610,7 @@ def align_banded_batch(
         jnp.asarray(np.asarray(ms + [1] * (TBP - count), np.int32)),
         W=W,
     ).transpose(1, 0, 2)  # -> (NP, TBP, W)
+    _tick("scores_s", S_band)
     tb, stats = fill_banded(
         S_band,
         jnp.asarray(nv),
@@ -593,7 +620,9 @@ def align_banded_batch(
         eg=eg,
         interpret=interpret,
     )
+    _tick("fill_s", tb)
     stats_np = np.asarray(stats)
+    _tick("stats_fetch_s")
 
     # start cell/state per pair (host-side: tiny), then ONE on-device walk
     # for the whole batch — the pointer band itself never leaves the
@@ -633,10 +662,12 @@ def align_banded_batch(
         jnp.asarray(~skip),
         W=W, local=mode == LOCAL, L=L,
     )
+    _tick("walk_s", cnt)
     i1 = np.asarray(i1)
     i2 = np.asarray(i2)
     cnt = np.asarray(cnt)
     flags = np.asarray(flags)
+    _tick("idx_fetch_s")
 
     results = []
     for k in range(count):
@@ -651,7 +682,37 @@ def align_banded_batch(
         idx1 = i1[k, :c][::-1].tolist()
         idx2 = i2[k, :c][::-1].tolist()
         results.append((idx1, idx2, float(score[k]), bool(flags[k] & 1)))
+    _tick("host_build_s")
     return results
+
+
+def phase_probe(
+    codes1, codes2, table, *, mode: int, og: float, eg: float,
+    band: int, interpret: bool = False,
+) -> dict:
+    """Warm per-stage wall split of one banded single-pair alignment
+    (VERDICT r3 task 3).  Compiles on a first call, then times a second
+    call on content-fresh codes (the tunnel caches identical (program,
+    args) executions — CLAUDE.md timing protocol) with a device value
+    read forced at each stage boundary, so stage attribution is real but
+    the probed total exceeds the pipelined warm wall time."""
+    import time as _time
+
+    codes1 = np.asarray(codes1, np.int32)
+    codes2 = np.asarray(codes2, np.int32)
+    align_banded(codes1, codes2, table, mode=mode, og=og, eg=eg,
+                 band=band, interpret=interpret)
+    K = np.asarray(table).shape[0]
+    c1 = codes1.copy()
+    c1[:8] = (c1[:8] + 1) % K
+    t: dict = {}
+    t0 = _time.time()
+    align_banded_batch(
+        [(c1, codes2)], table, mode=mode, og=og, eg=eg, band=band,
+        interpret=interpret, timings=t,
+    )
+    t["probed_total_s"] = round(_time.time() - t0, 3)
+    return t
 
 
 def align_banded(
