@@ -206,6 +206,16 @@ def main():
          gcups=round(cells / dt_warm / 1e9, 4),
          note="shuffled pair order: fresh args, compiled programs reused")
 
+    def emit_phase(label, dt, aligner):
+        """Wall-time phase split of the last align_pairs call (VERDICT r3
+        task 1: bucket/dispatch/gather/decode/reconstruct, measured not
+        guessed; 'other' is python glue between the timed regions)."""
+        ph = {k: round(v, 3) for k, v in aligner.phase.items()}
+        emit(metric=f"phase_{label}", wall_s=round(dt, 3), **ph,
+             other_s=round(dt - sum(aligner.phase.values()), 3))
+
+    emit_phase("local_warm", dt_warm, ba)
+
     # results must actually agree with the reference engine's scores
     scores = {int(i): r.score for i, r in zip(perm, res2)}
     mismatch = sum(
@@ -269,6 +279,7 @@ def main():
         emit(metric=f"ours_{mode}_warm_s", value=round(dt_mwarm, 2),
              cold_s=round(dt_mcold, 2), backend=backend,
              gcups=round(cells / dt_mwarm / 1e9, 4))
+        emit_phase(f"{mode}_warm", dt_mwarm, bam)
 
     for mode in modes:
         if mode in ours_s:
@@ -311,6 +322,7 @@ def main():
     assert all(r is not None for r in resb)
     emit(metric="ours_32x_suite_s", value=round(dt_big, 2), pairs=len(big),
          backend=backend, gcups=round(REP * cells / dt_big / 1e9, 3))
+    emit_phase("32x_suite", dt_big, ba)
     emit(metric="speedup_vs_reference_python_32x",
          value=round(REP * dt_py / dt_big, 1),
          basis="measured ours vs linear-extrapolated reference "
