@@ -25,7 +25,8 @@ from smithwaterman_tpu.config import GLOBAL, LOCAL
 from smithwaterman_tpu.matrices import SubstitutionMatrix
 from smithwaterman_tpu.ops import batch as batch_ops
 from smithwaterman_tpu.ops import device_walk
-from smithwaterman_tpu.ops.device_walk import _walk_starts, _walk_step, SENTINEL
+from smithwaterman_tpu.ops.device_walk import (
+    _walk_ctx, _walk_starts, _walk_step, SENTINEL)
 
 
 @partial(jax.jit, static_argnames=("mode", "L"))
@@ -39,6 +40,7 @@ def walk_packed_i32(tb, stats, n, m, *, mode: int, L: int):
     Lp = -(-L // 4) * 4
     out_s = jnp.zeros((Lp, B), jnp.int32)
     cnt0 = jnp.zeros((B,), jnp.int32)
+    ctx = _walk_ctx(tb)
 
     def cond(c):
         step, done = c[0], c[4]
@@ -47,7 +49,7 @@ def walk_packed_i32(tb, stats, n, m, *, mode: int, L: int):
     def body(c):
         step, i, j, s, done, cnt, o = c
         emit, s, _, _, ni, nj, ns, ndone = _walk_step(
-            tb, step, i, j, s, done, local=local
+            ctx, step, i, j, s, done, local=local
         )
         o = jax.lax.dynamic_update_index_in_dim(
             o, jnp.where(emit, s, 0), step, 0)
@@ -60,6 +62,45 @@ def walk_packed_i32(tb, stats, n, m, *, mode: int, L: int):
     moves = (r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4)
              | (r[:, 3] << 6)).astype(jnp.uint8)
     return st[:, :8].astype(jnp.float32), cnt, moves
+
+
+@partial(jax.jit, static_argnames=("mode", "L"))
+def walk_index_unroll2(tb, stats, n, m, *, mode: int, L: int):
+    """walk_bundle with TWO steps per while iteration (same semantics:
+    done pairs emit nothing), to amortize per-iteration overhead."""
+    G, NP, T, MP = tb.shape
+    B = G * T
+    local = mode == LOCAL
+    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
+    Lh = -(-L // 2)
+    out1 = jnp.full((2 * Lh, B), SENTINEL, jnp.int32)
+    out2 = jnp.full((2 * Lh, B), SENTINEL, jnp.int32)
+    ctx = _walk_ctx(tb)
+
+    def cond(c):
+        step, done = c[0], c[4]
+        return (step < Lh) & jnp.any(~done)
+
+    def body(c):
+        step, i, j, s, done, o1, o2 = c
+        for k in range(2):
+            emit, s, r1, r2, i, j, ns, done = _walk_step(
+                ctx, step, i, j, s, done, local=local
+            )
+            o1 = jax.lax.dynamic_update_index_in_dim(
+                o1, jnp.where(emit, r1, SENTINEL), 2 * step + k, 0)
+            o2 = jax.lax.dynamic_update_index_in_dim(
+                o2, jnp.where(emit, r2, SENTINEL), 2 * step + k, 0)
+            s = ns
+        return step + 1, i, j, s, done, o1, o2
+
+    _, _, _, _, _, out1, out2 = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, s0, done0, out1, out2)
+    )
+    idx = jnp.stack([out1, out2])
+    if max(NP, MP) < 2**15:
+        idx = idx.astype(jnp.int16)
+    return st[:, :8].astype(jnp.float32), idx
 
 
 def main():
@@ -95,6 +136,8 @@ def main():
         "packed_u8": lambda tb, stx: device_walk.walk_bundle_packed(
             tb, stx, jnp.asarray(n), jnp.asarray(m), mode=mode, L=L),
         "packed_i32": lambda tb, stx: walk_packed_i32(
+            tb, stx, jnp.asarray(n), jnp.asarray(m), mode=mode, L=L),
+        "index_unroll2": lambda tb, stx: walk_index_unroll2(
             tb, stx, jnp.asarray(n), jnp.asarray(m), mode=mode, L=L),
     }
     for name, walk in variants.items():

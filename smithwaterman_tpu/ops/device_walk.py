@@ -60,15 +60,27 @@ def _walk_starts(tb, stats, n, m, mode: int):
     return st, i0, j0, s0, done0
 
 
-def _walk_step(tb, step, i, j, s, done, *, local: bool):
-    """One lockstep walk step for every pair: returns
-    (emit, s_norm, r1, r2, ni, nj, ns, ndone).  Semantics are bit-identical
-    to ops/traceback.walk_tiled (see module docstring)."""
+def _walk_ctx(tb):
+    """Loop-invariant walk inputs, computed ONCE outside the while body.
+
+    tb.reshape(-1) inside the loop body is NOT hoisted by XLA: it
+    re-materializes the full pointer array every iteration (~100 us/iter
+    for a 33 MB bucket — 12x the rest of the body, scripts/walk_lab.py
+    --deep).  Callers build the context before the loop and pass it in.
+    """
     G, NP, T, MP = tb.shape
     B = G * T
     flat = tb.reshape(-1)
-    g = jnp.arange(B, dtype=jnp.int32) // T
-    t = jnp.arange(B, dtype=jnp.int32) % T
+    b = jnp.arange(B, dtype=jnp.int32)
+    return flat, b // T, b % T, NP, T, MP
+
+
+def _walk_step(ctx, step, i, j, s, done, *, local: bool):
+    """One lockstep walk step for every pair: returns
+    (emit, s_norm, r1, r2, ni, nj, ns, ndone).  Semantics are bit-identical
+    to ops/traceback.walk_tiled (see module docstring).  ``ctx`` is
+    :func:`_walk_ctx`'s loop-invariant tuple."""
+    flat, g, t, NP, T, MP = ctx
     # normalize_boundary_state (ops/traceback.py:233-249)
     s = jnp.where((j == 0) & (i > 0), CELL_GAPINY,
                   jnp.where((i == 0) & (j > 0), CELL_GAPINX, s))
@@ -123,6 +135,7 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
 
     out1 = jnp.full((L, B), SENTINEL, jnp.int32)
     out2 = jnp.full((L, B), SENTINEL, jnp.int32)
+    ctx = _walk_ctx(tb)
 
     def cond(c):
         step, done = c[0], c[4]
@@ -131,7 +144,7 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
     def body(c):
         step, i, j, s, done, o1, o2 = c
         emit, s, r1, r2, ni, nj, ns, ndone = _walk_step(
-            tb, step, i, j, s, done, local=local
+            ctx, step, i, j, s, done, local=local
         )
         o1 = jax.lax.dynamic_update_index_in_dim(
             o1, jnp.where(emit, r1, SENTINEL), step, 0)
@@ -171,6 +184,7 @@ def walk_bundle_packed(tb, stats, n, m, *, mode: int, L: int):
     Lp = -(-L // 4) * 4
     out_s = jnp.zeros((Lp, B), jnp.uint8)
     cnt0 = jnp.zeros((B,), jnp.int32)
+    ctx = _walk_ctx(tb)
 
     def cond(c):
         step, done = c[0], c[4]
@@ -179,7 +193,7 @@ def walk_bundle_packed(tb, stats, n, m, *, mode: int, L: int):
     def body(c):
         step, i, j, s, done, cnt, o = c
         emit, s, _, _, ni, nj, ns, ndone = _walk_step(
-            tb, step, i, j, s, done, local=local
+            ctx, step, i, j, s, done, local=local
         )
         o = jax.lax.dynamic_update_index_in_dim(
             o, jnp.where(emit, s, 0).astype(jnp.uint8), step, 0)
