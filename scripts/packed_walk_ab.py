@@ -36,7 +36,7 @@ def walk_packed_i32(tb, stats, n, m, *, mode: int, L: int):
     G, NP, T, MP = tb.shape
     B = G * T
     local = mode == LOCAL
-    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
+    st, i0, j0, s0, done0 = _walk_starts(stats, n, m, mode)
     Lp = -(-L // 4) * 4
     out_s = jnp.zeros((Lp, B), jnp.int32)
     cnt0 = jnp.zeros((B,), jnp.int32)
@@ -71,7 +71,7 @@ def walk_index_unroll2(tb, stats, n, m, *, mode: int, L: int):
     G, NP, T, MP = tb.shape
     B = G * T
     local = mode == LOCAL
-    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
+    st, i0, j0, s0, done0 = _walk_starts(stats, n, m, mode)
     Lh = -(-L // 2)
     out1 = jnp.full((2 * Lh, B), SENTINEL, jnp.int32)
     out2 = jnp.full((2 * Lh, B), SENTINEL, jnp.int32)

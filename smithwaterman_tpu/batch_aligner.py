@@ -58,6 +58,13 @@ def _host_fetchables(pend):
         for key in ("stats_d", "cnt_d", "mv_d"):
             yield (lambda h, _p=pend, _k=key: _p.__setitem__(_k, h),
                    pend[key])
+    elif kind == "pool_chunk":
+        yield (lambda h, _p=pend: _p.__setitem__("stats_d", h),
+               pend["stats_d"])
+    elif kind == "pool_bundle":
+        for key in ("cnt_d", "mv_d"):
+            yield (lambda h, _p=pend, _k=key: _p.__setitem__(_k, h),
+                   pend[key])
     elif kind == "pallas_async":
         pf = pend["pf"]
         yield (lambda h, _pf=pf: setattr(_pf, "stats_dev", h), pf.stats_dev)
@@ -183,6 +190,16 @@ class BatchAligner:
         # per-residue Python.  Default ON; SWTPU_PACKED_WALK=0 restores the
         # index-row bundle for A/B.
         self.packed_walk = os.environ.get("SWTPU_PACKED_WALK", "1") == "1"
+        # pooled walk: all buckets'/chunks' walks run in ONE lockstep
+        # while_loop (device_walk.walk_bundle_pooled) — per-step cost is
+        # B-independent, so pooling pays max-path-length iterations
+        # instead of sum-over-chunks.  SWTPU_POOLED_WALK=0 restores
+        # per-chunk walks.
+        self.pooled_walk = os.environ.get("SWTPU_POOLED_WALK", "1") == "1"
+        # per-run pooled-walk state (see _pool_add/_flush_pool)
+        self._pool_chunks: List[tuple] = []
+        self._pool_bytes = 0
+        self._pools: List[dict] = []
         # HBM budget for resident pointer matrices (device-walk route);
         # beyond it, buckets fall back to longseq checkpoint+refill.
         self.tb_hbm_bytes = int(
@@ -268,22 +285,33 @@ class BatchAligner:
         t0 = _time.time()
         self._tb_inflight.clear()
         self._tb_inflight_bytes = 0
+        self._pool_chunks.clear()
+        self._pool_bytes = 0
+        self._pools = []
+        # deterministic bucket order: pooled-walk flush partitioning (and
+        # therefore the pooled program's chunk composition, its jit cache
+        # key) must not depend on input order, or every shuffled call of
+        # the same workload re-traces multi-second programs
         pending = [
             (bk, self._dispatch_bucket(bk, score_only))
-            for bk in buckets.values()
+            for bk in sorted(
+                buckets.values(), key=lambda b: (b.np_pad, b.mp_pad)
+            )
         ]
+        self._flush_pool()
         ph["dispatch"] = _time.time() - t0
         # fetch every bucket's results in ONE batched transfer before the
         # finish loop: per-bucket synchronous fetches cost a round trip
         # each and serialize without this (REFBENCH_r03)
         t0 = _time.time()
-        _gather_host(pending)
+        _gather_host(pending + [(None, p) for p in self._pools])
         ph["gather"] = _time.time() - t0
         self._tb_inflight.clear()  # everything fetched; drop device refs
         self._tb_inflight_bytes = 0
         for bk, pend in pending:
             self._finish_bucket(bk, pend, seqs, results, retain_all,
                                 score_only)
+        self._pools = []
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
@@ -465,7 +493,8 @@ class BatchAligner:
         get_tb = pend.get("get_tb")
         stats = pend.get("stats")
         t_dec0 = _time.time()
-        _packed_kinds = ("device_walk_packed", "device_walk_packed_sharded")
+        _packed_kinds = ("device_walk_packed", "device_walk_packed_sharded",
+                         "pool_chunk")
         if pend["kind"] in _packed_kinds or (
             pend["kind"] == "multi"
             and pend["parts"]
@@ -601,6 +630,58 @@ class BatchAligner:
         self._tb_inflight.append((new_bytes, handle))
         self._tb_inflight_bytes += new_bytes
 
+    def _pool_add(self, pend, tb, stats, n, m) -> None:
+        """Register a fill's pointer chunk for the pooled walk; flush the
+        accumulated pool first when this chunk would bust the HBM budget
+        (peak device memory: live chunks + the pool concat, each bounded
+        by the budget)."""
+        budget = min(self.tb_hbm_bytes, _WALK_MAX_TB)
+        nbytes = int(np.prod(tb.shape))
+        if self._pool_chunks and self._pool_bytes + nbytes > budget:
+            self._flush_pool()
+        self._pool_chunks.append(
+            (pend, tb, stats, np.asarray(n), np.asarray(m))
+        )
+        self._pool_bytes += nbytes
+
+    def _flush_pool(self) -> None:
+        """Dispatch ONE pooled walk over every accumulated chunk; chunks'
+        pend dicts receive their pool handle + column range."""
+        if not self._pool_chunks:
+            return
+        import jax.numpy as jnp
+
+        chunks = self._pool_chunks
+        self._pool_chunks = []
+        self._pool_bytes = 0
+        # canonical composition order: the jit cache keys on the tuple of
+        # chunk shapes IN ORDER, and bucket iteration follows input order
+        # — without sorting, a shuffled batch of the same buckets
+        # re-traces the whole pooled program every call (~2.8 s Python,
+        # measured on the warm suite)
+        chunks.sort(key=lambda c: c[1].shape)
+        Lmax = max(
+            device_walk.max_path_len(tb.shape[1], tb.shape[3])
+            for _, tb, _, _, _ in chunks
+        )
+        L = 1 << (Lmax - 1).bit_length()  # pow2: merges compositions
+        cnt_d, mv_d = device_walk.walk_bundle_pooled(
+            tuple(c[1] for c in chunks),
+            tuple(c[2] for c in chunks),
+            tuple(jnp.asarray(c[3], jnp.int32) for c in chunks),
+            tuple(jnp.asarray(c[4], jnp.int32) for c in chunks),
+            mode=self.mode, L=L,
+        )
+        pool = {"kind": "pool_bundle", "cnt_d": cnt_d, "mv_d": mv_d}
+        c0 = 0
+        for ref, tb, _, _, _ in chunks:
+            B = tb.shape[0] * tb.shape[2]
+            ref["pool"] = pool
+            ref["col0"] = c0
+            ref["Bc"] = B
+            c0 += B
+        self._pools.append(pool)
+
     def _finish_packed(self, bk, pend, parts, seqs, results, retain_all):
         """Finish a bucket whose walk came back as packed move streams:
         one bulk native string rebuild per chunk (ops/reconstruct.py), no
@@ -624,6 +705,13 @@ class BatchAligner:
                 cnt_arr = np.asarray(part["cnt_d"]).reshape(-1)
                 mv_sh = np.asarray(part["mv_d"])  # (D, L4, Bp)
                 mv = np.concatenate(list(mv_sh), axis=1)
+            elif part["kind"] == "pool_chunk":
+                ref = part["ref"]
+                pool = ref["pool"]
+                c0, Bc = ref["col0"], ref["Bc"]
+                st = np.asarray(part["stats_d"]).reshape(-1, 8)[:cnt]
+                cnt_arr = np.asarray(pool["cnt_d"])[c0:c0 + Bc]
+                mv = np.asarray(pool["mv_d"])[:, c0:c0 + Bc]
             else:
                 assert part["kind"] == "device_walk_packed", part["kind"]
                 st = np.asarray(part["stats_d"])[:cnt]
@@ -800,6 +888,23 @@ class BatchAligner:
                 }
         if not score_only and self.device_walk:
             tb_new = codes1.shape[0] * codes1.shape[1] * codes2.shape[1]
+            if self.packed_walk and self.pooled_walk:
+                # pooled: defer the walk; chunks accumulate and walk
+                # together in ONE loop (budget-bounded, see _pool_add).
+                # The pool handle arrives later via the shared mutable
+                # ``ref`` dict — _dispatch_bucket flattens pend dicts
+                # with update(), so flush-time mutations of THIS dict
+                # would be lost.
+                tb, stats = batch_ops.fill_pallas_dev(
+                    S, n, m, mode=self.mode, og=self.config.og,
+                    eg=self.config.eg, score_only=False,
+                    interpret=interp, masked_s=masked_s,
+                )
+                ref: dict = {}
+                pend = {"kind": "pool_chunk", "stats_d": stats,
+                        "Bp": codes1.shape[0], "ref": ref}
+                self._pool_add(ref, tb, stats, n, m)
+                return pend
             self._reserve_tb(tb_new)
             tb, stats = batch_ops.fill_pallas_dev(
                 S, n, m, mode=self.mode, og=self.config.og,

@@ -39,12 +39,12 @@ def max_path_len(np_pad: int, mp_pad: int) -> int:
     return np_pad + mp_pad + 2
 
 
-def _walk_starts(tb, stats, n, m, mode: int):
-    """Shared walk-start setup: flattened pointers, per-pair start cell,
-    start state, and the already-done mask (local zero-score pairs)."""
-    G, NP, T, MP = tb.shape
-    B = G * T
-    st = stats.reshape(B, stats.shape[-1])
+def _walk_starts(stats, n, m, mode: int):
+    """Shared walk-start setup: per-pair start cell, start state, and the
+    already-done mask (local zero-score pairs).  ``stats`` is the kernel
+    stats block, any leading shape collapsing to B pairs."""
+    st = stats.reshape(-1, stats.shape[-1])
+    B = st.shape[0]
     if mode == LOCAL:
         i0 = st[:, 1].astype(jnp.int32)
         j0 = st[:, 2].astype(jnp.int32)
@@ -131,7 +131,7 @@ def walk_bundle(tb, stats, n, m, *, mode: int, L: int):
     G, NP, T, MP = tb.shape
     B = G * T
     local = mode == LOCAL
-    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
+    st, i0, j0, s0, done0 = _walk_starts(stats, n, m, mode)
 
     out1 = jnp.full((L, B), SENTINEL, jnp.int32)
     out2 = jnp.full((L, B), SENTINEL, jnp.int32)
@@ -179,7 +179,7 @@ def walk_bundle_packed(tb, stats, n, m, *, mode: int, L: int):
     G, NP, T, MP = tb.shape
     B = G * T
     local = mode == LOCAL
-    st, i0, j0, s0, done0 = _walk_starts(tb, stats, n, m, mode)
+    st, i0, j0, s0, done0 = _walk_starts(stats, n, m, mode)
 
     Lp = -(-L // 4) * 4
     out_s = jnp.zeros((Lp, B), jnp.uint8)
@@ -205,6 +205,100 @@ def walk_bundle_packed(tb, stats, n, m, *, mode: int, L: int):
     r = out_s.reshape(Lp // 4, 4, B)
     moves = r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4) | (r[:, 3] << 6)
     return st[:, :8].astype(jnp.float32), cnt, moves
+
+
+@partial(jax.jit, static_argnames=("mode", "L"))
+def walk_bundle_pooled(tbs, statss, ns, ms, *, mode: int, L: int):
+    """Walk the pairs of MANY bucket-chunks in ONE lockstep loop.
+
+    The while_loop's per-step cost is B-INDEPENDENT (~34 us fixed per
+    step whether 128 or 4096 pairs ride the loop — scripts/
+    packed_walk_ab.py), so walking each chunk separately pays
+    sum-of-path-lengths while one pooled walk pays only the MAX path
+    length.  The chunks' pointer arrays are concatenated into one flat
+    pool and each pair carries its own flat base offset / row stride /
+    clip bounds; the program specializes on the chunk-shape composition
+    (one compile per distinct workload composition).
+
+    Args: tuples of per-chunk ``tb (G, NP, T, MP) u8``, ``stats``,
+    ``n (B,)``, ``m (B,)``.  L covers the largest chunk
+    (max_path_len, pow2-rounded by the caller).
+
+    Returns ``(cnt (Btot,) i32, moves (ceil(L/4), Btot) u8)`` with
+    walk_bundle_packed's exact move contract; pair columns follow chunk
+    order (caller tracks per-chunk column offsets).  Stats stay with the
+    caller per chunk.
+    """
+    local = mode == LOCAL
+    flats, off0s, rows, npvs, mpvs = [], [], [], [], []
+    i0s, j0s, s0s, dones = [], [], [], []
+    off = 0
+    for tb, stt, n, m in zip(tbs, statss, ns, ms):
+        G, NP, T, MP = tb.shape
+        B = G * T
+        flats.append(tb.reshape(-1))
+        b = jnp.arange(B, dtype=jnp.int32)
+        off0s.append(off + (b // T) * (NP * T * MP) + (b % T) * MP)
+        rows.append(jnp.full((B,), T * MP, jnp.int32))
+        npvs.append(jnp.full((B,), NP, jnp.int32))
+        mpvs.append(jnp.full((B,), MP, jnp.int32))
+        _, i0, j0, s0, d0 = _walk_starts(stt, n, m, mode)
+        i0s.append(i0)
+        j0s.append(j0)
+        s0s.append(s0)
+        dones.append(d0)
+        off += tb.size
+    pool = jnp.concatenate(flats)
+    off0 = jnp.concatenate(off0s)
+    rowstride = jnp.concatenate(rows)
+    npv = jnp.concatenate(npvs)
+    mpv = jnp.concatenate(mpvs)
+    i0 = jnp.concatenate(i0s)
+    j0 = jnp.concatenate(j0s)
+    s0 = jnp.concatenate(s0s)
+    done0 = jnp.concatenate(dones)
+    Btot = off0.shape[0]
+
+    Lp = -(-L // 4) * 4
+    out_s = jnp.zeros((Lp, Btot), jnp.uint8)
+    cnt0 = jnp.zeros((Btot,), jnp.int32)
+
+    def cond(c):
+        step, done = c[0], c[4]
+        return (step < L) & jnp.any(~done)
+
+    def body(c):
+        step, i, j, s, done, cnt, o = c
+        # identical cell rules to _walk_step, pool-addressed
+        s = jnp.where((j == 0) & (i > 0), CELL_GAPINY,
+                      jnp.where((i == 0) & (j > 0), CELL_GAPINX, s))
+        interior = (i >= 1) & (j >= 1)
+        ii = jnp.clip(i - 1, 0, npv - 1)
+        jj = jnp.clip(j - 1, 0, mpv - 1)
+        ptr = pool[off0 + ii * rowstride + jj].astype(jnp.int32)
+        prev_in = (ptr >> (2 * s)) & 3
+        origin = (i == 0) & (j == 0)
+        row0 = (i == 0) & (j > 0)
+        bstate = jnp.where(origin, CELL_MATCH,
+                           jnp.where(row0, CELL_GAPINX, CELL_GAPINY))
+        bprev = jnp.where(local & (s == bstate), CELL_STOP, bstate)
+        prev = jnp.where(interior, prev_in, bprev)
+        stop = local & (prev == CELL_STOP)
+        emit = (~done) & (~stop)
+        ni = jnp.where(emit & (s != CELL_GAPINX), i - 1, i)
+        nj = jnp.where(emit & (s != CELL_GAPINY), j - 1, j)
+        ns = jnp.where(emit, prev, s)
+        ndone = done | stop | ((ni == 0) & (nj == 0))
+        o = jax.lax.dynamic_update_index_in_dim(
+            o, jnp.where(emit, s, 0).astype(jnp.uint8), step, 0)
+        return step + 1, ni, nj, ns, ndone, cnt + emit, o
+
+    _, _, _, _, _, cnt, out_s = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, s0, done0, cnt0, out_s)
+    )
+    r = out_s.reshape(Lp // 4, 4, Btot)
+    moves = r[:, 0] | (r[:, 1] << 2) | (r[:, 2] << 4) | (r[:, 3] << 6)
+    return cnt, moves
 
 
 def decode_bundle(stats, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

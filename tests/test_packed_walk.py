@@ -119,3 +119,55 @@ def test_native_reconstruct_available():
     equivalence test above would silently compare fallback-vs-fallback
     otherwise)."""
     assert recon._lib() is not None
+
+
+@pytest.mark.parametrize("mode", [swt.LOCAL, swt.GLOBAL, swt.GLOCAL])
+def test_pooled_walk_matches_host(mode, monkeypatch):
+    """The POOLED mega-walk (all buckets' pairs in one loop over a
+    concatenated pointer pool) must match the host walk field-exact,
+    across a mixed-bucket batch."""
+    rng = np.random.default_rng(mode + 5)
+    # spread lengths over several buckets so one pool holds many chunks
+    pairs = (_rand_pairs(rng, 8, lo=3, hi=60)
+             + _rand_pairs(rng, 8, lo=70, hi=140)
+             + _rand_pairs(rng, 6, lo=150, hi=250))
+    pairs.append(("AAAA", "WWWW"))
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
+    monkeypatch.setenv("SWTPU_POOLED_WALK", "1")
+    pooled = swt.BatchAligner(mode=mode, backend="pallas_interpret",
+                              tile_pairs=8).align_pairs(pairs)
+    host = swt.BatchAligner(mode=mode, backend="pallas_interpret",
+                            device_walk=False).align_pairs(pairs)
+    for p, h in zip(pooled, host):
+        assert _fields(p) == _fields(h)
+
+
+def test_pooled_walk_budget_splits_pools(monkeypatch):
+    """A tiny HBM budget forces multiple pools per run; results must be
+    unchanged and every chunk must map to some pool."""
+    rng = np.random.default_rng(77)
+    pairs = _rand_pairs(rng, 24, lo=100, hi=128)
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
+    monkeypatch.setenv("SWTPU_POOLED_WALK", "1")
+    monkeypatch.setenv("SWTPU_TB_HBM_BYTES", str(600 << 10))
+    ba = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
+                          tile_pairs=8)
+    pooled = ba.align_pairs(pairs)
+    host = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
+                            device_walk=False).align_pairs(pairs)
+    for p, h in zip(pooled, host):
+        assert _fields(p) == _fields(h)
+
+
+def test_pooled_off_restores_per_chunk_walks(monkeypatch):
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
+    monkeypatch.setenv("SWTPU_POOLED_WALK", "0")
+    rng = np.random.default_rng(13)
+    pairs = _rand_pairs(rng, 10)
+    per_chunk = swt.BatchAligner(mode=swt.GLOCAL,
+                                 backend="pallas_interpret").align_pairs(pairs)
+    monkeypatch.setenv("SWTPU_POOLED_WALK", "1")
+    pooled = swt.BatchAligner(mode=swt.GLOCAL,
+                              backend="pallas_interpret").align_pairs(pairs)
+    for a, b in zip(per_chunk, pooled):
+        assert _fields(a) == _fields(b)
