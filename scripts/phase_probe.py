@@ -35,9 +35,12 @@ def load_pairs():
     return pairs
 
 
-def run(ba, pairs, label):
+def run(ba, pairs, label, score_only=False):
     t0 = time.time()
-    res = ba.align_pairs(pairs)
+    if score_only:
+        res = ba.score_pairs(pairs)
+    else:
+        res = ba.align_pairs(pairs)
     dt = time.time() - t0
     assert all(r is not None for r in res)
     cells = sum(len(a.seq) * len(b.seq) for a, b in pairs)
@@ -81,7 +84,14 @@ def main():
             big = [pairs[i % len(pairs)] for i in range(args.rep * len(pairs))]
             ba.align_pairs(big)  # compile the chunk programs
             bigp = rng.permutation(len(big))
-            _, row = run(ba, [big[i] for i in bigp], f"local_{args.rep}x_warm")
+            big_shuf = [big[i] for i in bigp]
+            _, row = run(ba, big_shuf, f"local_{args.rep}x_warm")
+            rows.append(row)
+            # score-only on the same batch isolates fills+S (no tb write,
+            # no walk, no move fetch) from the traceback machinery
+            ba.score_pairs(big)  # compile score-only programs
+            _, row = run(ba, big_shuf, f"local_{args.rep}x_score_only",
+                         score_only=True)
             rows.append(row)
     if args.out:
         with open(args.out, "w") as f:

@@ -212,9 +212,44 @@ class SubstitutionMatrix(ScoringMatrix):
             )
         return x
 
+    def _byte_lut(self):
+        """256-entry byte -> symbol-index table for vectorized encoding
+        (False when letters fall outside latin-1).  Unknown bytes map to
+        X (index_of's fallback) or -1 when the matrix has no X."""
+        lut = self.__dict__.get("_lut")
+        if lut is not None:
+            return lut
+        if any(len(c) != 1 or ord(c) > 255 for c in self.letter_to_index):
+            self.__dict__["_lut"] = False
+            return False
+        x = self.letter_to_index.get("X", -1)
+        lut = np.full(256, x, np.int32)
+        for c, i in self.letter_to_index.items():
+            lut[ord(c)] = i
+        self.__dict__["_lut"] = lut
+        return lut
+
     def seq_to_index(self, seq: Sequence[str], partial: Optional[int] = None) -> np.ndarray:
         if partial is not None:
             seq = seq[:partial]
+        if isinstance(seq, str):
+            # vectorized path: per-character index_of cost ~100 us/pair
+            # of pure Python and dominated large-batch bucketing
+            lut = self._byte_lut()
+            if lut is not False:
+                try:
+                    b = np.frombuffer(seq.encode("latin-1"), np.uint8)
+                except UnicodeEncodeError:
+                    b = None
+                if b is not None:
+                    codes = lut[b]
+                    if codes.min(initial=0) >= 0:
+                        return codes
+                    bad = seq[int(np.argmax(codes < 0))]
+                    raise KeyError(
+                        f"unknown letter {bad}. please set X to allow "
+                        "scoring for undefined letter pair."
+                    )
         return np.asarray([self.index_of(c) for c in seq], dtype=np.int32)
 
     def get_score(self, a: int, b: int) -> float:

@@ -109,3 +109,30 @@ def test_position_specific_matrix():
     assert list(codes) == [0, 1, 2]
     # partial region truncates (rs:596-602)
     assert list(pm.seq_to_index("ABC", 2)) == [0, 1]
+
+
+def test_seq_to_index_vectorized_matches_index_of():
+    """The byte-LUT fast path must agree with per-char index_of,
+    including the unknown->X fallback and the no-X KeyError."""
+    import numpy as np
+    import pytest
+
+    sm = SubstitutionMatrix.blosum62()
+    seq = "ARNDCQEGHILKMFPSTWYVBZX*?a-"
+    fast = sm.seq_to_index(seq)
+    slow = np.asarray([sm.index_of(c) for c in seq], dtype=np.int32)
+    assert (fast == slow).all()
+    assert sm.seq_to_index("").shape == (0,)
+
+    import numpy as _np
+
+    letters = list("ACGT")
+    table = _np.full((4, 4), -1.0, _np.float32)
+    _np.fill_diagonal(table, 1.0)
+    no_x = SubstitutionMatrix(
+        letters=letters, table=table,
+        letter_to_index={c: i for i, c in enumerate(letters)},
+    )
+    assert (no_x.seq_to_index("ACGT") == [0, 1, 2, 3]).all()
+    with pytest.raises(KeyError):
+        no_x.seq_to_index("ACGU")
