@@ -58,7 +58,7 @@ def _host_fetchables(pend):
         for key in ("stats_d", "cnt_d", "mv_d"):
             yield (lambda h, _p=pend, _k=key: _p.__setitem__(_k, h),
                    pend[key])
-    elif kind == "pool_chunk":
+    elif kind in ("pool_chunk", "stats_only"):
         yield (lambda h, _p=pend: _p.__setitem__("stats_d", h),
                pend["stats_d"])
     elif kind == "pool_bundle":
@@ -196,9 +196,11 @@ class BatchAligner:
         # instead of sum-over-chunks.  SWTPU_POOLED_WALK=0 restores
         # per-chunk walks.
         self.pooled_walk = os.environ.get("SWTPU_POOLED_WALK", "1") == "1"
-        # per-run pooled-walk state (see _pool_add/_flush_pool)
-        self._pool_chunks: List[tuple] = []
-        self._pool_bytes = 0
+        # per-run pooled-walk state (see _pool_add/_flush_pool), keyed by
+        # path-length class: done pairs still pay gather volume every
+        # step, so short-path chunks must not ride a long chunk's pool
+        self._pool_chunks: Dict[int, List[tuple]] = {}
+        self._pool_bytes: Dict[int, int] = {}
         self._pools: List[dict] = []
         # HBM budget for resident pointer matrices (device-walk route);
         # beyond it, buckets fall back to longseq checkpoint+refill.
@@ -286,7 +288,7 @@ class BatchAligner:
         self._tb_inflight.clear()
         self._tb_inflight_bytes = 0
         self._pool_chunks.clear()
-        self._pool_bytes = 0
+        self._pool_bytes.clear()
         self._pools = []
         # deterministic bucket order: pooled-walk flush partitioning (and
         # therefore the pooled program's chunk composition, its jit cache
@@ -504,7 +506,9 @@ class BatchAligner:
                      else [(count, pend)])
             self._finish_packed(bk, pend, parts, seqs, results, retain_all)
             return
-        if pend["kind"] == "pallas_async":
+        if pend["kind"] == "stats_only":
+            stats = np.asarray(pend["stats_d"]).reshape(-1, 8)
+        elif pend["kind"] == "pallas_async":
             get_tb, stats = pend["pf"].fetch()
             walk = traceback.walk_tiled
         elif pend["kind"] == "device_walk":
@@ -543,6 +547,11 @@ class BatchAligner:
                     st, idx = _decode_sharded_part(part, part["Bp"], cnt)
                     stats_parts.append(st[:cnt])
                     idx_parts.extend(idx)
+                elif part["kind"] == "stats_only":  # score-only chunks
+                    stats_parts.append(
+                        np.asarray(part["stats_d"]).reshape(-1, 8)[:cnt]
+                    )
+                    idx_parts = None
                 else:  # pallas_async (score-only) / ready (host walk)
                     if part["kind"] == "ready":
                         gt, st = part["get_tb"], part["stats"]
@@ -630,41 +639,43 @@ class BatchAligner:
         self._tb_inflight.append((new_bytes, handle))
         self._tb_inflight_bytes += new_bytes
 
-    def _pool_add(self, pend, tb, stats, n, m) -> None:
-        """Register a fill's pointer chunk for the pooled walk; flush the
-        accumulated pool first when this chunk would bust the HBM budget
-        (peak device memory: live chunks + the pool concat, each bounded
-        by the budget)."""
+    def _pool_add(self, ref, tb, stats, n, m) -> None:
+        """Register a fill's pointer chunk for the pooled walk in its
+        path-length class; flush that class first when this chunk would
+        bust the HBM budget (peak device memory: live chunks + the pool
+        concat, each bounded by the budget)."""
         budget = min(self.tb_hbm_bytes, _WALK_MAX_TB)
         nbytes = int(np.prod(tb.shape))
-        if self._pool_chunks and self._pool_bytes + nbytes > budget:
-            self._flush_pool()
-        self._pool_chunks.append(
-            (pend, tb, stats, np.asarray(n), np.asarray(m))
+        Lmax = device_walk.max_path_len(tb.shape[1], tb.shape[3])
+        lc = 1 << (Lmax - 1).bit_length()  # pow2 path-length class
+        if (self._pool_chunks.get(lc)
+                and self._pool_bytes.get(lc, 0) + nbytes > budget):
+            self._flush_class(lc)
+        self._pool_chunks.setdefault(lc, []).append(
+            (ref, tb, stats, np.asarray(n), np.asarray(m))
         )
-        self._pool_bytes += nbytes
+        self._pool_bytes[lc] = self._pool_bytes.get(lc, 0) + nbytes
 
     def _flush_pool(self) -> None:
-        """Dispatch ONE pooled walk over every accumulated chunk; chunks'
-        pend dicts receive their pool handle + column range."""
-        if not self._pool_chunks:
+        for lc in sorted(self._pool_chunks):
+            self._flush_class(lc)
+
+    def _flush_class(self, L: int) -> None:
+        """Dispatch ONE pooled walk over a length class's accumulated
+        chunks; chunks' ref dicts receive their pool handle + column
+        range."""
+        chunks = self._pool_chunks.pop(L, None)
+        self._pool_bytes.pop(L, None)
+        if not chunks:
             return
         import jax.numpy as jnp
 
-        chunks = self._pool_chunks
-        self._pool_chunks = []
-        self._pool_bytes = 0
         # canonical composition order: the jit cache keys on the tuple of
         # chunk shapes IN ORDER, and bucket iteration follows input order
         # — without sorting, a shuffled batch of the same buckets
         # re-traces the whole pooled program every call (~2.8 s Python,
         # measured on the warm suite)
         chunks.sort(key=lambda c: c[1].shape)
-        Lmax = max(
-            device_walk.max_path_len(tb.shape[1], tb.shape[3])
-            for _, tb, _, _, _ in chunks
-        )
-        L = 1 << (Lmax - 1).bit_length()  # pow2: merges compositions
         cnt_d, mv_d = device_walk.walk_bundle_pooled(
             tuple(c[1] for c in chunks),
             tuple(c[2] for c in chunks),
@@ -864,11 +875,46 @@ class BatchAligner:
         import jax.numpy as jnp
 
         masked_s = self._masked_s(n, m)
+        interp = self.backend == "pallas_interpret"
+        if not score_only and self.device_walk and self.packed_walk \
+                and self.pooled_walk:
+            # pooled fast path: score compute + fill fused into ONE
+            # dispatched program (two dispatches per chunk otherwise);
+            # the walk itself is deferred to the pooled flush.  The pool
+            # handle arrives later via the shared mutable ``ref`` dict —
+            # _dispatch_bucket flattens pend dicts with update(), so
+            # flush-time mutations of THIS dict would be lost.
+            table = np.asarray(self.scoring_matrix.table, np.float32)
+            tb, stats = batch_ops.fill_from_codes(
+                jnp.asarray(table), codes1, codes2,
+                jnp.asarray(n, jnp.int32), jnp.asarray(m, jnp.int32),
+                as_int8=self._table_is_int, tile=tile, mode=self.mode,
+                og=self.config.og, eg=self.config.eg, score_only=False,
+                interpret=interp, masked=masked_s,
+            )
+            ref: dict = {}
+            pend = {"kind": "pool_chunk", "stats_d": stats,
+                    "Bp": codes1.shape[0], "ref": ref}
+            self._pool_add(ref, tb, stats, n, m)
+            return pend
+        if (score_only and self.pooled_walk
+                and not self.diag_scores
+                and self.device_axis is None):
+            # score-only: one fused dispatch; only the (B, 8) stats
+            # block ever exists device-side
+            table = np.asarray(self.scoring_matrix.table, np.float32)
+            _, stats = batch_ops.fill_from_codes(
+                jnp.asarray(table), codes1, codes2,
+                jnp.asarray(n, jnp.int32), jnp.asarray(m, jnp.int32),
+                as_int8=self._table_is_int, tile=tile, mode=self.mode,
+                og=self.config.og, eg=self.config.eg, score_only=True,
+                interpret=interp, masked=masked_s,
+            )
+            return {"kind": "stats_only", "stats_d": stats}
         S = self._scores(
             codes1, codes2, tile,
             n=n if masked_s else None, m=m if masked_s else None,
         )
-        interp = self.backend == "pallas_interpret"
         if self.diag_scores and score_only:
             from .ops import diag_dp
 
@@ -888,23 +934,6 @@ class BatchAligner:
                 }
         if not score_only and self.device_walk:
             tb_new = codes1.shape[0] * codes1.shape[1] * codes2.shape[1]
-            if self.packed_walk and self.pooled_walk:
-                # pooled: defer the walk; chunks accumulate and walk
-                # together in ONE loop (budget-bounded, see _pool_add).
-                # The pool handle arrives later via the shared mutable
-                # ``ref`` dict — _dispatch_bucket flattens pend dicts
-                # with update(), so flush-time mutations of THIS dict
-                # would be lost.
-                tb, stats = batch_ops.fill_pallas_dev(
-                    S, n, m, mode=self.mode, og=self.config.og,
-                    eg=self.config.eg, score_only=False,
-                    interpret=interp, masked_s=masked_s,
-                )
-                ref: dict = {}
-                pend = {"kind": "pool_chunk", "stats_d": stats,
-                        "Bp": codes1.shape[0], "ref": ref}
-                self._pool_add(ref, tb, stats, n, m)
-                return pend
             self._reserve_tb(tb_new)
             tb, stats = batch_ops.fill_pallas_dev(
                 S, n, m, mode=self.mode, og=self.config.og,

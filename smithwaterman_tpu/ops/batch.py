@@ -218,6 +218,36 @@ def fill_pallas_dev(
     )
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "as_int8", "tile", "mode", "og", "eg", "score_only", "interpret",
+    "masked",
+))
+def fill_from_codes(
+    table, codes1, codes2, n, m, *, as_int8: bool, tile: int, mode: int,
+    og: float, eg: float, score_only: bool = False,
+    interpret: bool = False, masked: bool = False,
+):
+    """Score compute + kernel fill in ONE dispatched program.
+
+    scores_tiled and fill_pallas_dev as separate jits cost two dispatch
+    round trips per chunk; a large batch spends more wall time in
+    per-call overhead than in compute (phase_probe 32x: score-only side
+    ~0.3-0.4 s across 26 chunks).  ``masked`` poisons padded cells so the
+    kernel runs its masked_s fast path (same flag to both stages).
+    Returns DEVICE arrays (tb, stats)."""
+    S = scores_tiled(
+        table, codes1, codes2, as_int8=as_int8, tile=tile,
+        n=n if masked else None, m=m if masked else None,
+    )
+    G = codes1.shape[0] // tile
+    nt = n.reshape(G, tile, 1)
+    mt = m.reshape(G, tile, 1)
+    return pallas_dp.fill_tiled(
+        S, nt, mt, mode=mode, og=float(og), eg=float(eg),
+        score_only=score_only, interpret=interpret, masked_s=masked,
+    )
+
+
 def fill_pallas_async(
     S_tiled,
     n: np.ndarray,
