@@ -503,7 +503,13 @@ def _walk_banded_device(tb, off, si, sj, s0, m, act0, *, W: int, local: bool,
 @functools.partial(jax.jit, static_argnames=("W",))
 def _banded_scores(c1, c2, table, off_rows, m, *, W: int):
     """(TBP, NP, W) f32 per-pair banded scores:
-    S[b, i-1, w] = table[c1[b, i], c2[b, off_b(i)+w]], zero outside seq2."""
+    S[b, i-1, w] = table[c1[b, i], c2[b, off_b(i)+w]], zero outside seq2.
+
+    XLA-gather reference implementation: correct everywhere, but the
+    gathers ride this backend's slow streaming path (a 32k pair spends
+    8.8 s at W=1024 and 17.6 s at W=2048 HERE while fill+walk take ~2 s
+    — GIANT_PAIR r4 phase rows).  The product path uses the Pallas
+    kernel below; this stays as the oracle for its test."""
 
     def one(c1_b, c2_b, off_b, m_b):
         cols = off_b[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -514,6 +520,112 @@ def _banded_scores(c1, c2, table, off_rows, m, *, W: int):
         return jnp.where(cols >= m_b, 0.0, S)
 
     return jax.vmap(one)(c1, c2, off_rows, m)
+
+
+def _scores_kernel(
+    nm_ref,    # (TBP, 2) i32 SMEM — per-pair (n, m), scalar reads only
+    nm_v_ref,  # (TBP, 2) i32 VMEM — same values for vector math
+    c2_ref,    # (TBP, MPpad) i32 VMEM — full padded seq2 codes
+    prof_ref,  # (rb_rows, TBP, K) f32 VMEM block — table rows for seq1
+    s_ref,     # (rb_rows, TBP, W) f32 VMEM out block
+    c2w,       # (rb_rows, TBP, W) i32 scratch — per-row band windows
+    *,
+    W: int,
+    K: int,
+    rb_rows: int,
+    tbp: int,
+):
+    """Gather-free banded scores: the band window of each row is a
+    DYNAMIC SLICE of the VMEM-resident seq2 codes (band offsets are
+    monotone, so every row's window is contiguous), and the table lookup
+    is a static-K unrolled one-hot select against the row's profile.
+    Offset arithmetic must match band_offsets()."""
+    rb = pl.program_id(0)
+
+    def row(r, _):
+        i = rb * rb_rows + r + 1
+        for t in range(tbp):
+            n_t = nm_ref[t, 0]
+            m_t = nm_ref[t, 1]
+            num = jnp.maximum(m_t - W, 0)
+            den = jnp.maximum(n_t, 1)
+            off = jnp.clip((jnp.minimum(i, n_t) * num) // den, 0, num)
+            # Mosaic requires dynamic vector loads to start at a lane
+            # multiple: load an aligned W+128 window and rotate the
+            # residue away (c2_ref is padded by an extra 128 columns)
+            off128 = (off // 128) * 128
+            rem = off - off128
+            winw = c2_ref[pl.ds(t, 1), pl.ds(off128, W + 128)]
+            win = pltpu.roll(winw, shift=(W + 128) - rem, axis=1)
+            c2w[pl.ds(r, 1), t, :] = win[:, :W]
+        return 0
+
+    jax.lax.fori_loop(0, rb_rows, row, 0, unroll=False)
+
+    # vectorized offsets/validity mask (same formula as the row loop)
+    iv = (rb * rb_rows + 1
+          + jax.lax.broadcasted_iota(jnp.int32, (rb_rows, tbp), 0))
+    nv = nm_v_ref[:, 0][None, :]
+    mv = nm_v_ref[:, 1][None, :]
+    num = jnp.maximum(mv - W, 0)
+    den = jnp.maximum(nv, 1)
+    offs = jnp.clip((jnp.minimum(iv, nv) * num) // den, 0, num)
+    col = offs[:, :, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (rb_rows, tbp, W), 2)
+    valid = col < mv[:, :, None]
+
+    cw = c2w[:, :, :]
+    S = jnp.zeros((rb_rows, tbp, W), jnp.float32)
+    for k in range(K):  # static unroll: no gather, pure VPU selects
+        S = S + jnp.where(cw == k, prof_ref[:, :, k][:, :, None], 0.0)
+    s_ref[:, :, :] = jnp.where(valid, S, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _banded_scores_pallas(c1b, c2b, table, nm, *, W: int,
+                          interpret: bool = False):
+    """(NP, TBP, W) f32 banded scores via the gather-free kernel.
+
+    c1b (TBP, NP) / c2b (TBP, MPpad) int32 padded codes, nm (TBP, 2)
+    int32 true lengths.  Bit-identical to _banded_scores (asserted in
+    tests/test_banded.py) at ~10x less wall on this backend's slow
+    gather path."""
+    tbp, NP = c1b.shape
+    K = table.shape[0]
+    # profile rows via one-hot matmul on the MXU — no gather
+    prof = jnp.einsum(
+        "tik,kj->tij", jax.nn.one_hot(c1b, K, dtype=jnp.float32),
+        table.astype(jnp.float32), preferred_element_type=jnp.float32,
+    )  # (TBP, NP, K) -> rows of the table for each seq1 code
+    prof = prof.transpose(1, 0, 2)  # (NP, TBP, K)
+
+    rb_rows = max(8, min(NP, (2 << 20) // max(1, tbp * W * 4)))
+    rb_rows = 1 << (rb_rows.bit_length() - 1)
+    rb_rows = min(rb_rows, NP)
+    while NP % rb_rows:
+        rb_rows //= 2
+    kernel = functools.partial(
+        _scores_kernel, W=W, K=K, rb_rows=rb_rows, tbp=tbp,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(NP // rb_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb_rows, tbp, K), lambda rb: (rb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((NP, tbp, W), jnp.float32),
+        out_specs=pl.BlockSpec((rb_rows, tbp, W), lambda rb: (rb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rb_rows, tbp, W), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(nm, nm, c2b, prof)
 
 
 def _value_read(arr) -> None:
@@ -572,8 +684,11 @@ def align_banded_batch(
     Mmax = max(ms)
 
     c1b = np.zeros((TBP, NP), np.int32)
-    c2b = np.zeros((TBP, Mmax), np.int32)
-    offb = np.zeros((TBP, NP), np.int32)
+    # columns lane-padded (plus one extra 128-lane group for the scores
+    # kernel's aligned over-wide window load) so the W-wide band slice
+    # stays in bounds even when W rounds past the longest seq2
+    Mpad = -(-max(Mmax, 1) // 128) * 128 + 128
+    c2b = np.zeros((TBP, Mpad), np.int32)
     offs_full = []
     for k in range(count):
         codes1, codes2 = pairs[k]
@@ -589,7 +704,6 @@ def align_banded_batch(
         off[n + 1 :] = off_full[-1]
         assert (off[1:] - off[:-1]).max(initial=0) <= 1, "band slope must be <= 1"
         offs_full.append(off)
-        offb[k] = off[1:]
     for k in range(count, TBP):
         offs_full.append(np.zeros(NP + 1, np.int32))
 
@@ -601,15 +715,20 @@ def align_banded_batch(
     _tick("host_prep_s")
     # banded substitution scores built ON DEVICE from the code arrays —
     # only O(n + m) ints per pair cross the host boundary (a replicated f32
-    # band matrix over a tunneled TPU link costs minutes)
-    S_band = _banded_scores(
+    # band matrix over a tunneled TPU link costs minutes).  Gather-free
+    # Pallas kernel: the XLA-gather form spent 8.8-17.6 s per width on a
+    # 32k pair (GIANT_PAIR r4 phase rows) while fill+walk took ~2 s.
+    nm = np.ones((TBP, 2), np.int32)
+    nm[:count, 0] = ns
+    nm[:count, 1] = ms
+    S_band = _banded_scores_pallas(
         jnp.asarray(c1b),
         jnp.asarray(c2b),
         jnp.asarray(np.asarray(table, np.float32)),
-        jnp.asarray(offb),
-        jnp.asarray(np.asarray(ms + [1] * (TBP - count), np.int32)),
+        jnp.asarray(nm),
         W=W,
-    ).transpose(1, 0, 2)  # -> (NP, TBP, W)
+        interpret=interpret,
+    )
     _tick("scores_s", S_band)
     tb, stats = fill_banded(
         S_band,

@@ -213,3 +213,42 @@ def test_full_width_band_degenerate_penalties():
     )
     assert score == pytest.approx(float(np.max(np.asarray(ref.final[0]))))
     assert (idx1, idx2) == want
+
+
+def test_pallas_banded_scores_match_gather_oracle():
+    """The gather-free Pallas scores kernel must be bit-identical to the
+    XLA-gather reference (_banded_scores) across offsets/masks."""
+    import jax.numpy as jnp
+
+    from smithwaterman_tpu.ops.banded import (
+        TBP, _banded_scores, _banded_scores_pallas, band_offsets)
+
+    rng = np.random.default_rng(4)
+    table = np.asarray(
+        SubstitutionMatrix.blosum62().table, np.float32)
+    K = table.shape[0]
+    NP, W = 64, 128
+    ns = [64, 50, 33, 8, 64, 1, 17, 40]
+    ms = [160, 40, 150, 128, 9, 100, 13, 127]
+    Mmax = max(ms)
+    Mpad = -(-Mmax // 128) * 128 + 128  # aligned over-wide window room
+    c1b = rng.integers(0, K, size=(TBP, NP)).astype(np.int32)
+    c2b = np.zeros((TBP, Mpad), np.int32)
+    offr = np.zeros((TBP, NP), np.int32)
+    for t in range(TBP):
+        c2b[t, :ms[t]] = rng.integers(0, K, size=ms[t])
+        off = band_offsets(ns[t], ms[t], min(W, ms[t]))
+        full = np.zeros(NP + 1, np.int32)
+        full[: ns[t] + 1] = off
+        full[ns[t] + 1:] = off[-1]
+        offr[t] = full[1:]
+    nm = np.stack([ns, ms], axis=1).astype(np.int32)
+    fast = np.asarray(_banded_scores_pallas(
+        jnp.asarray(c1b), jnp.asarray(c2b), jnp.asarray(table),
+        jnp.asarray(nm), W=W, interpret=True,
+    ))
+    ref = np.asarray(_banded_scores(
+        jnp.asarray(c1b), jnp.asarray(c2b[:, :Mmax]), jnp.asarray(table),
+        jnp.asarray(offr), jnp.asarray(np.asarray(ms, np.int32)), W=W,
+    )).transpose(1, 0, 2)
+    np.testing.assert_array_equal(fast, ref)
