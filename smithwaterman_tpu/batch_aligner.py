@@ -709,6 +709,7 @@ class BatchAligner:
         for cnt, part in parts:
             if cnt == 0:
                 continue
+            mv_col0 = 0
             if part["kind"] == "device_walk_packed_sharded":
                 # per-shard leading axis; shard-major row order == pair
                 # order (cf. _decode_sharded_part)
@@ -722,7 +723,10 @@ class BatchAligner:
                 c0, Bc = ref["col0"], ref["Bc"]
                 st = np.asarray(part["stats_d"]).reshape(-1, 8)[:cnt]
                 cnt_arr = np.asarray(pool["cnt_d"])[c0:c0 + Bc]
-                mv = np.asarray(pool["mv_d"])[:, c0:c0 + Bc]
+                # full pooled array + column offset: a [:, c0:c0+Bc]
+                # slice is non-contiguous and would copy per chunk
+                mv = np.asarray(pool["mv_d"])
+                mv_col0 = c0
             else:
                 assert part["kind"] == "device_walk_packed", part["kind"]
                 st = np.asarray(part["stats_d"])[:cnt]
@@ -742,7 +746,7 @@ class BatchAligner:
             seq2s = [seqs[i][1].seq for i in idxs]
             res = recon.reconstruct_packed(
                 seq1s, seq2s, mv, cnt_arr, i0, j0, scores,
-                self.mode, retain_all,
+                self.mode, retain_all, col0=mv_col0,
             )
             for k, idx in enumerate(idxs):
                 results[idx] = res[k]

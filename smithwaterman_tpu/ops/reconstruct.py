@@ -70,12 +70,16 @@ def reconstruct_packed(
     scores: np.ndarray,
     mode: int,
     retain_all: bool,
+    col0: int = 0,
 ) -> List:
     """Replay a bucket's packed move streams into AlignResults.
 
     seq1s/seq2s are the bucket's sequences in pair order (count of them);
-    moves is the (n_rows, B) packed byte array with B >= count columns,
-    cnt/i0/j0/scores are per-pair (>= count entries).
+    moves is the (n_rows, B) packed byte array whose columns
+    ``col0 .. col0+count`` belong to this bucket (pass the FULL pooled
+    array + col0 rather than a sliced copy — slices of pooled bundles
+    are non-contiguous), cnt/i0/j0/scores are per-pair (>= count
+    entries).
     """
     from ..aligner import AlignResult, reconstruct_alignment
 
@@ -90,6 +94,7 @@ def reconstruct_packed(
     if lib is not None and count:
         moves = np.ascontiguousarray(moves, np.uint8)
         n_rows, B = moves.shape
+        assert col0 + count <= B, (col0, count, B)
         cnt32 = np.ascontiguousarray(cnt[:count], np.int32)
         i032 = np.ascontiguousarray(i0[:count], np.int32)
         j032 = np.ascontiguousarray(j0[:count], np.int32)
@@ -111,8 +116,10 @@ def reconstruct_packed(
         outlen = np.zeros(count, np.int64)
         spans = np.zeros((count, 4), np.int64)
         i64, i32, u8 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint8
+        mv_ptr = ctypes.cast(
+            moves.ctypes.data + col0, ctypes.POINTER(u8))
         rc = lib.sw_reconstruct_moves(
-            _ptr(moves, u8), B, n_rows,
+            mv_ptr, B, n_rows,
             _ptr(cnt32, i32), _ptr(i032, i32), _ptr(j032, i32),
             _ptr(seq1, u8), _ptr(off1, i64), _ptr(seq2, u8),
             _ptr(off2, i64), count, 1 if local else 0,
@@ -140,7 +147,7 @@ def reconstruct_packed(
     res = []
     for k in range(count):
         idx1, idx2 = device_walk.moves_to_path(
-            moves, cnt, int(i0[k]), int(j0[k]), k
+            moves[:, col0:], cnt, int(i0[k]), int(j0[k]), k
         )
         res.append(reconstruct_alignment(
             seq1s[k], seq2s[k], idx1, idx2, float(scores[k]),
