@@ -12,6 +12,7 @@ handful of static programs, and the O(n+m) pointer walk runs on host.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -47,6 +48,27 @@ def _as_seqdata(s) -> SeqData:
     if isinstance(s, SeqData):
         return s
     return SeqData(name="", desc="", seq=str(s))
+
+
+_PERL_STRIP = re.compile(r"[^A-Za-z]")
+_PERL_TO_X = re.compile(r"[BJOUXZ]")
+
+
+def perl_sanitize(seq: str) -> str:
+    """The Perl engine's input rewrite (smithwaterman.pl:82-99):
+    uppercase, strip non-letters, then map ambiguity codes ``[BJOUXZ]``
+    to ``X`` (the rewrite's ``a-z`` class is dead after ``uc``).  Opt-in
+    via ``Aligner(perl_compat=True)`` / CLI ``-perl_compat`` — the Perl
+    engine is the ONLY reference engine with this behavior (the others
+    score B/Z via the BLOSUM62 rows), so the default stays the
+    majority/EMBOSS behavior.  Scope is the INPUT rewrite: the Perl
+    engine's other solo quirks (terminal-pad order, its zero-score
+    walk) are not replicated."""
+    return _PERL_TO_X.sub("X", _PERL_STRIP.sub("", seq.upper()))
+
+
+def _perl_compat_seq(s: SeqData) -> SeqData:
+    return SeqData(name=s.name, desc=s.desc, seq=perl_sanitize(s.seq))
 
 
 def reconstruct_alignment(
@@ -156,11 +178,14 @@ class Aligner:
         gap_extend: float = 0.5,
         mode: int = LOCAL,
         config: Optional[AlignConfig] = None,
+        perl_compat: bool = False,
     ):
         if config is None:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
         self.config = config
         self.scoring_matrix = scoring_matrix or SubstitutionMatrix.blosum62()
+        # replicate the Perl engine's input rewrite (perl_sanitize)
+        self.perl_compat = perl_compat
         self._batch = None  # lazy TPU-kernel delegate (see align_partial)
 
     # ------------------------------------------------------------------
@@ -260,6 +285,9 @@ class Aligner:
     ) -> AlignResult:
         s1 = _as_seqdata(s1)
         s2 = _as_seqdata(s2)
+        if self.perl_compat:
+            s1 = _perl_compat_seq(s1)
+            s2 = _perl_compat_seq(s2)
 
         # On TPU the flagship API uses the flagship kernel: route through
         # the batch pipeline (B=1 bucketing) whenever the matrix is a

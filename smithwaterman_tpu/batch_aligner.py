@@ -26,6 +26,7 @@ import numpy as np
 from .aligner import (
     AlignResult,
     _as_seqdata,
+    _perl_compat_seq,
     degenerate_result,
     reconstruct_alignment,
 )
@@ -158,12 +159,15 @@ class BatchAligner:
         longseq_cells: Optional[int] = None,
         diag_scores: Optional[bool] = None,
         device_walk: Optional[bool] = None,
+        perl_compat: bool = False,
     ):
         if config is None:
             config = AlignConfig(mode=mode, gap_open=gap_open, gap_extend=gap_extend)
         self.config = config
         self.scoring_matrix = scoring_matrix or SubstitutionMatrix.blosum62()
         self.backend = backend or default_backend()
+        # replicate the Perl engine's input rewrite (aligner.perl_sanitize)
+        self.perl_compat = perl_compat
         self.device_axis = device_axis  # parallel.DataParallel or None
         self.tile_pairs = tile_pairs
         # buckets with >= this many padded cells use the checkpointed-fill +
@@ -260,6 +264,8 @@ class BatchAligner:
 
         for idx, (a, b) in enumerate(pairs):
             s1, s2 = _as_seqdata(a), _as_seqdata(b)
+            if self.perl_compat:
+                s1, s2 = _perl_compat_seq(s1), _perl_compat_seq(s2)
             seqs.append((s1, s2))
             c1 = sm.seq_to_index(s1.seq)
             c2 = sm.seq_to_index(s2.seq)

@@ -70,6 +70,9 @@ class AlignmentOptions:
     # GCUPS, pairs/s, padding waste) as one JSON line on stderr after the
     # run.  Extension beyond the reference surface (SURVEY.md §5).
     stats: bool = False
+    # -perl_compat: replicate the Perl engine's input rewrite (strip
+    # non-letters, [BJOUXZa-z] -> X, smithwaterman.pl:94-99)
+    perl_compat: bool = False
 
     @classmethod
     def parse(cls, args: List[str]) -> "AlignmentOptions":
@@ -99,6 +102,9 @@ class AlignmentOptions:
                 flag[ii] = True
             elif a == "-stats":
                 ret.stats = True
+                flag[ii] = True
+            elif a == "-perl_compat":
+                ret.perl_compat = True
                 flag[ii] = True
             elif a == "-coverage_short":
                 ret.c_coverage_short = numeric(ii)
@@ -231,6 +237,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         gap_open=opts.gap_open,
         gap_extend=opts.gap_extend,
         mode=opts.alignment_type,
+        perl_compat=opts.perl_compat,
     )
     if opts.stats:
         from .utils.metrics import StatsCollector
