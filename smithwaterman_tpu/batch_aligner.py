@@ -357,12 +357,25 @@ class BatchAligner:
         codes2 = np.zeros((B, MP), np.int32)
         n = np.ones(B, np.int32)
         m = np.ones(B, np.int32)
-        for k in range(count):
-            c1, c2 = bk.codes1[k], bk.codes2[k]
-            codes1[k, : len(c1)] = c1
-            codes2[k, : len(c2)] = c2
-            n[k] = len(c1)
-            m[k] = len(c2)
+
+        def _pack(dst, codes, lens):
+            # one fancy-index scatter instead of a per-pair row loop
+            # (the loop was ~30-50 ms of the 3200-pair dispatch phase)
+            total = int(lens.sum())
+            if total == 0:
+                return
+            starts = np.zeros(count, np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            rows = np.repeat(np.arange(count), lens)
+            cols = np.arange(total) - np.repeat(starts, lens)
+            dst[rows, cols] = np.concatenate(codes)
+
+        l1 = np.fromiter((len(c) for c in bk.codes1), np.int64, count)
+        l2 = np.fromiter((len(c) for c in bk.codes2), np.int64, count)
+        _pack(codes1, bk.codes1, l1)
+        _pack(codes2, bk.codes2, l2)
+        n[:count] = l1
+        m[:count] = l2
 
         pend = {"n": n, "m": m, "B": B, "t0": t_fill0, "tile": tile}
         # Long-sequence routing.  With the on-device walk the pointer
