@@ -241,3 +241,23 @@ def test_sharded_pow2_chunking_matches_single():
         w = single.align(p[0], p[1], True)
         assert (r.score, r.aligned1, r.aligned2) == (
             w.score, w.aligned1, w.aligned2)
+
+
+def test_score_only_fused_all_modes():
+    """The fused single-dispatch score-only path (kind=stats_only) must
+    match the scan oracle in every mode, including multi-chunk buckets."""
+    from smithwaterman_tpu import GLOCAL, LOCAL
+
+    rng = np.random.default_rng(23)
+    letters = list("ARNDCQEGHILKMFPSTWYV")
+    pairs = _short_pairs() + [
+        ("".join(rng.choice(letters, rng.integers(30, 120))),
+         "".join(rng.choice(letters, rng.integers(30, 120))))
+        for _ in range(20)
+    ]
+    for mode in (LOCAL, GLOBAL, GLOCAL):
+        fused = BatchAligner(
+            mode=mode, backend="pallas_interpret", tile_pairs=8
+        ).score_pairs(pairs)
+        oracle = BatchAligner(mode=mode, backend="scan").score_pairs(pairs)
+        np.testing.assert_array_equal(fused, oracle)
