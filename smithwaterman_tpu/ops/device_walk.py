@@ -230,6 +230,12 @@ def walk_bundle_pooled(tbs, statss, ns, ms, *, mode: int, L: int):
     caller per chunk.
     """
     local = mode == LOCAL
+    total = sum(int(np.prod(tb.shape)) for tb in tbs)
+    if total >= 1 << 31:  # flat index arithmetic is int32
+        raise ValueError(
+            f"pooled pointer arrays total {total} bytes >= 2^31; the "
+            "caller must budget pools below the int32 gather limit"
+        )
     flats, off0s, rows, npvs, mpvs = [], [], [], [], []
     i0s, j0s, s0s, dones = [], [], [], []
     off = 0
