@@ -239,6 +239,9 @@ class Aligner:
 
         s1 = _as_seqdata(s1)
         s2 = _as_seqdata(s2)
+        if self.perl_compat:
+            s1 = _perl_compat_seq(s1)
+            s2 = _perl_compat_seq(s2)
         codes1 = self.scoring_matrix.seq_to_index(s1.seq)
         codes2 = self.scoring_matrix.seq_to_index(s2.seq)
         if len(codes1) == 0 or len(codes2) == 0:

@@ -50,7 +50,10 @@ class AlignmentOptions:
     its CLIs hardcode them; the JS UI exposes penalties in its form,
     SmithWaterman.html:396-397): ``-gapopen``, ``-gapextend``, ``-matrix
     blosum62|dna|<file>``, ``-match``/``-mismatch`` for the dna matrix
-    (defaults 4/-1 per SmithWaterman.html:62-69)."""
+    (defaults 4/-1 per SmithWaterman.html:62-69), ``-stats`` (per-bucket
+    observability report on stderr), ``-perl_compat`` (the Perl engine's
+    input rewrite), and ``-band W`` (double-band-verified banded
+    alignment for long similar pairs)."""
 
     alignment_type: int = LOCAL
     file1: str = ""
@@ -73,6 +76,11 @@ class AlignmentOptions:
     # -perl_compat: replicate the Perl engine's input rewrite (strip
     # non-letters, [BJOUXZa-z] -> X, smithwaterman.pl:94-99)
     perl_compat: bool = False
+    # -band W: diagonal-banded alignment with the double-band
+    # verification guard (ops/banded.py) — the long-similar-pair fast
+    # path, beyond the reference surface (its accelerated engine refuses
+    # pairs past ~26k x 26k; this one verifies a 32k pair in ~1 s warm)
+    band: int = 0
 
     @classmethod
     def parse(cls, args: List[str]) -> "AlignmentOptions":
@@ -106,6 +114,9 @@ class AlignmentOptions:
             elif a == "-perl_compat":
                 ret.perl_compat = True
                 flag[ii] = True
+            elif a == "-band":
+                ret.band = int(numeric(ii))
+                flag[ii] = flag[ii + 1] = True
             elif a == "-coverage_short":
                 ret.c_coverage_short = numeric(ii)
                 flag[ii] = flag[ii + 1] = True
@@ -208,13 +219,28 @@ def run_pairfiles(opts: AlignmentOptions, engine: BatchAligner) -> None:
     filelist = (
         read_pair_list(opts.file1) if opts.list else [(opts.file1, opts.file2)]
     )
+    banded = None
+    if opts.band > 0:
+        from .aligner import Aligner
+
+        banded = Aligner(
+            scoring_matrix=engine.scoring_matrix,
+            config=engine.config,
+            perl_compat=opts.perl_compat,
+        )
     out = open(opts.outfilename, "w") if opts.outfilename else None
     try:
         for file1, file2 in filelist:
             seq1 = load_fasta(file1)
             seq2 = load_fasta(file2)
             pairs = [(s1, s2) for s1 in seq1 for s2 in seq2]
-            results = engine.align_pairs(pairs, retain_all=True)
+            if banded is not None:
+                results = [
+                    banded.align_banded(s1, s2, band=opts.band)
+                    for s1, s2 in pairs
+                ]
+            else:
+                results = engine.align_pairs(pairs, retain_all=True)
             k = 0
             for s1 in seq1:
                 for s2 in seq2:

@@ -224,3 +224,24 @@ def test_stats_flag(tmp_path, capsys):
     assert "true_gcups" in rep and "padded_gcups" in rep
     (bucket,) = rep["buckets"].values()
     assert 0.0 <= bucket["padding_waste"] < 1.0
+
+
+def test_band_flag(tmp_path, capsys):
+    """-band W routes pairs through the double-band-verified banded path;
+    on a near-diagonal pair the result equals the unbanded engine."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    letters = list("ARNDCQEGHILKMFPSTWYV")
+    s = "".join(rng.choice(letters, 400))
+    s2 = s[:180] + "W" + s[183:]  # small indel drift
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(f">s1\n{s}\n")
+    f2.write_text(f">s2\n{s2}\n")
+    main(["-local", "-band", "128", str(f1), str(f2)])
+    banded_out = capsys.readouterr().out
+    main(["-local", str(f1), str(f2)])
+    plain_out = capsys.readouterr().out
+    assert banded_out == plain_out
+    assert banded_out.startswith("#score:")
