@@ -61,7 +61,7 @@ def main():
                    SweepConfig(chunk_pairs=2048, score_only=True))
     wall = time.time() - t0
     cells = int(engine.stats.true_cells)
-    device_s = float(engine.stats.device_seconds)  # before the cross-check
+    run_s = float(engine.stats.run_seconds)  # before the cross-check
     M = score_matrix(seqs, None, engine, path,
                      SweepConfig(chunk_pairs=2048, score_only=True))
 
@@ -87,7 +87,7 @@ def main():
         "wall_s": round(wall, 2),
         "pairs_per_s": round(n_pairs / wall, 1),
         "gcups_effective": round(cells / wall / 1e9, 3),
-        "device_s": round(device_s, 2),
+        "run_s": round(run_s, 2),
         "sample_crosscheck_ok": bool(ok),
         "note": "wall includes per-process compiles (axon recompiles every "
                 "shape; real TPU hosts amortize via the persistent cache)",

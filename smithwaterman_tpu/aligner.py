@@ -63,8 +63,15 @@ def perl_sanitize(seq: str) -> str:
     score B/Z via the BLOSUM62 rows), so the default stays the
     majority/EMBOSS behavior.  Scope is the INPUT rewrite: the Perl
     engine's other solo quirks (terminal-pad order, its zero-score
-    walk) are not replicated."""
-    return _PERL_TO_X.sub("X", _PERL_STRIP.sub("", seq.upper()))
+    walk) are not replicated.
+
+    The strip runs BEFORE the uppercase map: Perl's byte-semantics ``uc``
+    never turns a non-letter into a letter, but Python's ``str.upper``
+    can (e.g. ``"ß".upper() == "SS"`` would survive the ``[A-Za-z]``
+    strip as two letters the Perl engine deletes), so stripping first —
+    leaving pure ASCII for ``upper`` — keeps the rewrite byte-faithful
+    off ASCII too."""
+    return _PERL_TO_X.sub("X", _PERL_STRIP.sub("", seq).upper())
 
 
 def _perl_compat_seq(s: SeqData) -> SeqData:

