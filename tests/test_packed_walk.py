@@ -171,3 +171,37 @@ def test_pooled_off_restores_per_chunk_walks(monkeypatch):
                               backend="pallas_interpret").align_pairs(pairs)
     for a, b in zip(per_chunk, pooled):
         assert _fields(a) == _fields(b)
+
+
+def test_pooled_walk_no_retrace_on_shuffled_workload(monkeypatch):
+    """The pooled walk's jit caches on the ORDERED tuple of chunk shapes.
+    Two load-bearing determinism rules keep that cache hot (batch_aligner:
+    buckets dispatch in shape order; chunks sort by shape inside a flush):
+    without them, a shuffled call of the SAME workload re-traces the
+    multi-second pooled program every time (2.8-10.5 s of pure Python,
+    MEASUREMENTS_r04.md §2).  This pins both rules: a shuffled second
+    dispatch must add ZERO new cache entries."""
+    from smithwaterman_tpu.ops import device_walk
+
+    monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
+    monkeypatch.setenv("SWTPU_POOLED_WALK", "1")
+    rng = np.random.default_rng(7)
+    # spread over several buckets so the pool really has a composition
+    pairs = _rand_pairs(rng, 24, lo=3, hi=250)
+    ba = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
+                          device_walk=True)
+    r1 = ba.align_pairs(pairs)
+    size1 = device_walk.walk_bundle_pooled._cache_size()
+    assert size1 > 0  # the pooled path actually ran
+    perm = rng.permutation(len(pairs))
+    shuffled = [pairs[int(i)] for i in perm]
+    r2 = ba.align_pairs(shuffled)
+    size2 = device_walk.walk_bundle_pooled._cache_size()
+    assert size2 == size1, (
+        "shuffled same-workload dispatch re-traced the pooled walk "
+        f"({size1} -> {size2} cache entries): a composition-determinism "
+        "rule in batch_aligner (bucket dispatch order / chunk sort) broke"
+    )
+    # and composition order-independence must not change results
+    for i, k in enumerate(perm):
+        assert _fields(r2[i]) == _fields(r1[int(k)])
