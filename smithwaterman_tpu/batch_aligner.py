@@ -61,7 +61,7 @@ def _host_fetchables(pend):
                    pend[key])
     elif kind in ("pool_chunk", "stats_only"):
         yield (lambda h, _p=pend: _p.__setitem__("stats_d", h),
-               pend["stats_d"])
+               _chunk_stats(pend))
     elif kind == "pool_bundle":
         for key in ("cnt_d", "mv_d"):
             yield (lambda h, _p=pend, _k=key: _p.__setitem__(_k, h),
@@ -74,6 +74,16 @@ def _host_fetchables(pend):
     elif kind == "multi":
         for _, part in pend["parts"]:
             yield from _host_fetchables(part)
+
+
+def _chunk_stats(pend):
+    """Device stats of a pooled-fill chunk.  _dispatch_bucket flattens
+    single-chunk pend dicts with update() BEFORE the fill flush runs, so
+    flush-time results land in the shared mutable ``ref`` dict and the
+    flattened copy's own ``stats_d`` stays None until the host gather
+    writes the fetched array back into it."""
+    s = pend.get("stats_d")
+    return s if s is not None else pend["ref"]["stats_d"]
 
 
 def _gather_host(pending) -> None:
@@ -200,16 +210,30 @@ class BatchAligner:
         # instead of sum-over-chunks.  SWTPU_POOLED_WALK=0 restores
         # per-chunk walks.
         self.pooled_walk = os.environ.get("SWTPU_POOLED_WALK", "1") == "1"
+        # pooled fill: ALL staged chunks' score+fill programs trace into
+        # ONE dispatched jit (ops/batch.fill_many) — the fill-side
+        # analogue of the pooled walk.  SWTPU_POOLED_FILL=0 restores
+        # per-chunk fill_from_codes dispatches for A/B.
+        self.pooled_fill = os.environ.get("SWTPU_POOLED_FILL", "1") == "1"
+        # per-run pooled-fill staging (see _stage_fill/_flush_fills)
+        self._fill_stage: List[dict] = []
+        self._fill_stage_tb = 0
         # per-run pooled-walk state (see _pool_add/_flush_pool), keyed by
         # path-length class: done pairs still pay gather volume every
         # step, so short-path chunks must not ride a long chunk's pool
         self._pool_chunks: Dict[int, List[tuple]] = {}
         self._pool_bytes: Dict[int, int] = {}
         self._pools: List[dict] = []
-        # HBM budget for resident pointer matrices (device-walk route);
-        # beyond it, buckets fall back to longseq checkpoint+refill.
+        # HBM budget for resident pointer matrices (device-walk route).
+        # This bounds the GLOBAL sum of staged/live pointer chunks (a
+        # budget's worth of fills flush together with the walks that
+        # consume them — ADVICE r4: per-class-only accounting let
+        # n_classes x budget accumulate); single chunks and single walk
+        # pools are additionally capped at the walk's int32 gather limit
+        # (_WALK_MAX_TB).  Beyond the per-chunk cap, buckets fall back to
+        # longseq checkpoint+refill.
         self.tb_hbm_bytes = int(
-            os.environ.get("SWTPU_TB_HBM_BYTES", str(2 << 30))
+            os.environ.get("SWTPU_TB_HBM_BYTES", str(4 << 30))
         )
         # opt-in observability: assign a utils.metrics.StatsCollector
         self.stats = None
@@ -294,6 +318,8 @@ class BatchAligner:
         t0 = _time.time()
         self._tb_inflight.clear()
         self._tb_inflight_bytes = 0
+        self._fill_stage = []
+        self._fill_stage_tb = 0
         self._pool_chunks.clear()
         self._pool_bytes.clear()
         self._pools = []
@@ -307,6 +333,7 @@ class BatchAligner:
                 buckets.values(), key=lambda b: (b.np_pad, b.mp_pad)
             )
         ]
+        self._flush_fills()
         self._flush_pool()
         ph["dispatch"] = _time.time() - t0
         # fetch every bucket's results in ONE batched transfer before the
@@ -663,6 +690,67 @@ class BatchAligner:
         self._tb_inflight.append((new_bytes, handle))
         self._tb_inflight_bytes += new_bytes
 
+    def _stage_fill(self, codes1, codes2, n, m, tile, masked, score_only,
+                    pend, ref) -> None:
+        """Register one chunk's score+fill for the pooled fill program
+        (ops/batch.fill_many).  When the staged pointer bytes would pass
+        the GLOBAL HBM budget, flush fills AND walks together: the walk
+        programs consume the pointer arrays, so device execution order
+        (fill #1, walks #1, fill #2, ...) bounds peak resident pointers
+        at ~budget + the largest pool concat.
+
+        Staging order is the canonical dispatch order (buckets sorted by
+        shape, pow2 chunks largest-first), so the pooled program's cache
+        key — the ordered chunk-shape composition — is workload-
+        deterministic (same rule as the pooled walk; tested by
+        tests/test_packed_walk.py's shuffled-workload case)."""
+        tb_bytes = (0 if score_only
+                    else codes1.shape[0] * codes1.shape[1] * codes2.shape[1])
+        if self._fill_stage and (
+            self._fill_stage_tb + tb_bytes > self.tb_hbm_bytes
+        ):
+            self._flush_fills()
+            self._flush_pool()
+        self._fill_stage.append(dict(
+            codes1=codes1, codes2=codes2, n=n, m=m, tile=tile,
+            masked=masked, score_only=score_only, pend=pend, ref=ref,
+        ))
+        self._fill_stage_tb += tb_bytes
+
+    def _flush_fills(self) -> None:
+        """Dispatch ONE fill_many program over the staged chunks; write
+        each chunk's device stats into its pend and hand traceback
+        chunks' pointer arrays to the pooled walk."""
+        stage = self._fill_stage
+        if not stage:
+            return
+        self._fill_stage = []
+        self._fill_stage_tb = 0
+        import jax.numpy as jnp
+
+        table = np.asarray(self.scoring_matrix.table, np.float32)
+        chunks = tuple(
+            (st["codes1"], st["codes2"],
+             jnp.asarray(st["n"], jnp.int32),
+             jnp.asarray(st["m"], jnp.int32))
+            for st in stage
+        )
+        metas = tuple(
+            (st["tile"], st["score_only"], st["masked"]) for st in stage
+        )
+        outs = batch_ops.fill_many(
+            jnp.asarray(table), chunks,
+            as_int8=self._table_is_int, mode=self.mode,
+            og=self.config.og, eg=self.config.eg,
+            interpret=self.backend == "pallas_interpret", metas=metas,
+        )
+        for st, (tb, stats) in zip(stage, outs):
+            # through ref, not pend: single-chunk pends were flattened
+            # into the bucket dict by update() before this flush ran
+            st["ref"]["stats_d"] = stats
+            if not st["score_only"]:
+                self._pool_add(st["ref"], tb, stats, st["n"], st["m"])
+
     def _pool_add(self, ref, tb, stats, n, m) -> None:
         """Register a fill's pointer chunk for the pooled walk in its
         path-length class; flush that class first when this chunk would
@@ -906,12 +994,22 @@ class BatchAligner:
         interp = self.backend == "pallas_interpret"
         if not score_only and self.device_walk and self.packed_walk \
                 and self.pooled_walk:
-            # pooled fast path: score compute + fill fused into ONE
-            # dispatched program (two dispatches per chunk otherwise);
-            # the walk itself is deferred to the pooled flush.  The pool
-            # handle arrives later via the shared mutable ``ref`` dict —
-            # _dispatch_bucket flattens pend dicts with update(), so
-            # flush-time mutations of THIS dict would be lost.
+            # pooled fast path: score compute + fill fused, and (default)
+            # STAGED so every chunk's fill rides ONE dispatched program
+            # (ops/batch.fill_many) — per-program execution overhead was
+            # the 32x suite's dominant residual at ~26 bucket dispatches
+            # (VERDICT r4 task 1).  The walk is deferred to the pooled
+            # flush; its pool handle arrives later via the shared mutable
+            # ``ref`` dict — _dispatch_bucket flattens pend dicts with
+            # update(), so flush-time mutations of THIS dict would be
+            # lost.  stats_d likewise lands at fill-flush time.
+            ref: dict = {}
+            pend = {"kind": "pool_chunk", "stats_d": None,
+                    "Bp": codes1.shape[0], "ref": ref}
+            if self.pooled_fill:
+                self._stage_fill(codes1, codes2, n, m, tile, masked_s,
+                                 False, pend, ref)
+                return pend
             table = np.asarray(self.scoring_matrix.table, np.float32)
             tb, stats = batch_ops.fill_from_codes(
                 jnp.asarray(table), codes1, codes2,
@@ -920,16 +1018,23 @@ class BatchAligner:
                 og=self.config.og, eg=self.config.eg, score_only=False,
                 interpret=interp, masked=masked_s,
             )
-            ref: dict = {}
-            pend = {"kind": "pool_chunk", "stats_d": stats,
-                    "Bp": codes1.shape[0], "ref": ref}
+            pend["stats_d"] = stats
             self._pool_add(ref, tb, stats, n, m)
             return pend
         if (score_only and self.pooled_walk
                 and not self.diag_scores
                 and self.device_axis is None):
             # score-only: one fused dispatch; only the (B, 8) stats
-            # block ever exists device-side
+            # block ever exists device-side.  Staged into the pooled
+            # fill program by default (score-only chunks add no lasting
+            # pointer bytes, so they never trigger a budget flush).
+            if self.pooled_fill:
+                ref_so: dict = {}
+                pend = {"kind": "stats_only", "stats_d": None,
+                        "ref": ref_so}
+                self._stage_fill(codes1, codes2, n, m, tile, masked_s,
+                                 True, pend, ref_so)
+                return pend
             table = np.asarray(self.scoring_matrix.table, np.float32)
             _, stats = batch_ops.fill_from_codes(
                 jnp.asarray(table), codes1, codes2,

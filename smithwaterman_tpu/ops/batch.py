@@ -248,6 +248,52 @@ def fill_from_codes(
     )
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "as_int8", "mode", "og", "eg", "interpret", "metas",
+))
+def fill_many(table, chunks, *, as_int8: bool, mode: int, og: float,
+              eg: float, interpret: bool, metas):
+    """Score compute + kernel fill for MANY bucket-chunks in ONE
+    dispatched program — the fill-side analogue of
+    ``device_walk.walk_bundle_pooled``.
+
+    The reference suite buckets into ~26 distinct (np_pad, mp_pad)
+    shapes, so per-bucket ``fill_from_codes`` dispatches pay ~26 program
+    executions whose per-call overhead dwarfs their ~10 ms of actual fill
+    compute (MEASUREMENTS_r04.md §9).  Tracing every chunk's score+fill
+    into one jit collapses that to a single execution; XLA runs the
+    kernels back-to-back on device and frees each chunk's score tensor
+    before the next kernel runs.
+
+    Args:
+      table:  (K, K) f32 scoring table (shared by every chunk).
+      chunks: tuple of per-chunk ``(codes1 (B, NP), codes2 (B, MP),
+              n (B,), m (B,))``.
+      metas:  static tuple of per-chunk ``(tile, score_only, masked)``.
+
+    Returns a tuple of per-chunk ``(tb, stats)`` DEVICE arrays (tb is
+    None for score-only chunks).  The program specializes on the ordered
+    chunk-shape composition — callers must stage chunks in a canonical
+    order (see BatchAligner._stage_fill) or every shuffled call of the
+    same workload re-traces a multi-second program.
+    """
+    out = []
+    for (codes1, codes2, n, m), (tile, score_only, masked) in zip(
+        chunks, metas
+    ):
+        S = scores_tiled(
+            table, codes1, codes2, as_int8=as_int8, tile=tile,
+            n=n if masked else None, m=m if masked else None,
+        )
+        G = codes1.shape[0] // tile
+        out.append(pallas_dp.fill_tiled(
+            S, n.reshape(G, tile, 1), m.reshape(G, tile, 1), mode=mode,
+            og=float(og), eg=float(eg), score_only=score_only,
+            interpret=interpret, masked_s=masked,
+        ))
+    return tuple(out)
+
+
 def fill_pallas_async(
     S_tiled,
     n: np.ndarray,

@@ -180,11 +180,14 @@ def test_pooled_walk_no_retrace_on_shuffled_workload(monkeypatch):
     without them, a shuffled call of the SAME workload re-traces the
     multi-second pooled program every time (2.8-10.5 s of pure Python,
     MEASUREMENTS_r04.md §2).  This pins both rules: a shuffled second
-    dispatch must add ZERO new cache entries."""
+    dispatch must add ZERO new cache entries.  The pooled FILL program
+    (ops/batch.fill_many) keys on the same composition — pin it too."""
+    from smithwaterman_tpu.ops import batch as batch_ops
     from smithwaterman_tpu.ops import device_walk
 
     monkeypatch.setenv("SWTPU_PACKED_WALK", "1")
     monkeypatch.setenv("SWTPU_POOLED_WALK", "1")
+    monkeypatch.setenv("SWTPU_POOLED_FILL", "1")
     rng = np.random.default_rng(7)
     # spread over several buckets so the pool really has a composition
     pairs = _rand_pairs(rng, 24, lo=3, hi=250)
@@ -192,11 +195,16 @@ def test_pooled_walk_no_retrace_on_shuffled_workload(monkeypatch):
                           device_walk=True)
     r1 = ba.align_pairs(pairs)
     size1 = device_walk.walk_bundle_pooled._cache_size()
+    fsize1 = batch_ops.fill_many._cache_size()
     assert size1 > 0  # the pooled path actually ran
+    assert fsize1 > 0
     perm = rng.permutation(len(pairs))
     shuffled = [pairs[int(i)] for i in perm]
     r2 = ba.align_pairs(shuffled)
     size2 = device_walk.walk_bundle_pooled._cache_size()
+    assert batch_ops.fill_many._cache_size() == fsize1, (
+        "shuffled same-workload dispatch re-traced the pooled fill"
+    )
     assert size2 == size1, (
         "shuffled same-workload dispatch re-traced the pooled walk "
         f"({size1} -> {size2} cache entries): a composition-determinism "
@@ -205,3 +213,31 @@ def test_pooled_walk_no_retrace_on_shuffled_workload(monkeypatch):
     # and composition order-independence must not change results
     for i, k in enumerate(perm):
         assert _fields(r2[i]) == _fields(r1[int(k)])
+
+
+def test_pooled_fill_budget_rounds(monkeypatch):
+    """When staged pointer bytes pass the GLOBAL HBM budget, fills and
+    walks flush in rounds (fill #1, walks #1, fill #2, ...) and results
+    are unchanged.  Budget is sized over the largest single chunk (so no
+    longseq rerouting) but under the workload total (so >= 2 rounds)."""
+    rng = np.random.default_rng(13)
+    pairs = _rand_pairs(rng, 20, lo=100, hi=127) + _rand_pairs(
+        rng, 20, lo=220, hi=255
+    )
+    # tile_pairs=8: chunks are (2|1)*8-pair groups; largest single chunk
+    # is 16*256*256 = 1.05 MB of pointers (under budget, so no longseq
+    # rerouting: group_tb = 8*256*256 = 524 kB), total ~2 MB (over)
+    monkeypatch.setenv("SWTPU_TB_HBM_BYTES", str(1_200_000))
+    ba = swt.BatchAligner(mode=swt.GLOCAL, backend="pallas_interpret",
+                          device_walk=True, tile_pairs=8)
+    flushes = []
+    orig = ba._flush_fills
+    ba._flush_fills = lambda: (flushes.append(1), orig())[-1]
+    pooled = ba.align_pairs(pairs)
+    assert len(flushes) >= 2, "budget should force multiple fill rounds"
+    monkeypatch.setenv("SWTPU_TB_HBM_BYTES", str(4 << 30))
+    monkeypatch.setenv("SWTPU_POOLED_FILL", "0")
+    plain = swt.BatchAligner(mode=swt.GLOCAL, backend="pallas_interpret",
+                             device_walk=True, tile_pairs=8).align_pairs(pairs)
+    for a, b in zip(pooled, plain):
+        assert _fields(a) == _fields(b)
