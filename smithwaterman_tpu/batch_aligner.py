@@ -385,8 +385,16 @@ class BatchAligner:
         B = -(-count // step) * step
         t_fill0 = _time.time()
         NP, MP = bk.np_pad, bk.mp_pad
-        codes1 = np.zeros((B, NP), np.int32)
-        codes2 = np.zeros((B, MP), np.int32)
+        # int8 codes when the alphabet fits (every letter-indexed table;
+        # K ~ 25): the codes upload is the dominant device-path cost at
+        # suite scale on slow-H2D links — the 32x suite's ~19 MB of int32
+        # codes took 0.42 s of its 0.63 s wall (fill_device_probe r5),
+        # and the fills themselves are nearly free behind the transfer
+        ctype = (np.int8
+                 if np.asarray(self.scoring_matrix.table).shape[0] <= 127
+                 else np.int32)
+        codes1 = np.zeros((B, NP), ctype)
+        codes2 = np.zeros((B, MP), ctype)
         n = np.ones(B, np.int32)
         m = np.ones(B, np.int32)
 
@@ -711,8 +719,13 @@ class BatchAligner:
         ):
             self._flush_fills()
             self._flush_pool()
+        # start the codes H2D transfers NOW (device_put is async): the
+        # single pooled program can't overlap uploads with compute the
+        # way per-chunk dispatches pipeline them, so overlap them with
+        # the host's remaining bucket/pack work instead
         self._fill_stage.append(dict(
-            codes1=codes1, codes2=codes2, n=n, m=m, tile=tile,
+            codes1=jax.device_put(codes1), codes2=jax.device_put(codes2),
+            n=n, m=m, tile=tile,
             masked=masked, score_only=score_only, pend=pend, ref=ref,
         ))
         self._fill_stage_tb += tb_bytes

@@ -31,7 +31,24 @@ CELL_STOP = 3
 
 # Default padded-length ladder for shape bucketing (median reference test
 # length is ~438, max 3685; cf. SURVEY.md §6).
-DEFAULT_BUCKETS: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+#
+# Mosaic's real layout constraint is lanes in multiples of 128 (sublanes
+# of 8), not powers of two, so the ladder runs 128-multiples through 2048
+# (where most real protein lengths live), then coarsens.  vs the r4 pow2
+# ladder this cuts padding waste 0.57 -> 0.25 on a random-length 150-700
+# production sweep and 0.47 -> 0.21 on the 32x reference suite (VERDICT
+# r4 task 2; a 520-residue sequence padded to 1024 = 3.9x its cells).
+# The tradeoff is compile count — the reference suite buckets into ~61
+# shapes instead of ~26.  Real TPU hosts amortize that through the
+# persistent compilation cache; per-program dispatch overhead does NOT
+# rise with bucket count because fills and walks dispatch POOLED
+# (ops/batch.fill_many, device_walk.walk_bundle_pooled).  Workloads with
+# a known length distribution can do better still: see
+# :func:`ladder_for_lengths`.
+DEFAULT_BUCKETS: Tuple[int, ...] = (
+    64, 128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 1792, 2048,
+    2560, 3072, 3584, 4096, 5120, 6144, 7168, 8192,
+)
 
 
 @dataclass(frozen=True)
@@ -80,3 +97,32 @@ def bucket_len(n: int, buckets: Tuple[int, ...] = DEFAULT_BUCKETS) -> int:
         if n <= b:
             return b
     return -(-n // 256) * 256
+
+
+def ladder_for_lengths(
+    lengths, max_rungs: int = 12, quantum: int = 128
+) -> Tuple[int, ...]:
+    """Pick a bucket ladder matched to an observed length distribution.
+
+    Rungs are placed at equal-mass quantiles of the distribution, rounded
+    up to ``quantum`` (128 = Mosaic's lane multiple; sublanes only need
+    8), so padding concentrates where sequences actually are: each rung
+    absorbs ~1/max_rungs of the sequences with at most one quantum of
+    per-dimension padding inside dense regions.  Use for production
+    sweeps with known inputs (``AlignConfig(buckets=ladder_for_lengths(
+    [len(s.seq) for s in seqs]))``); every rung pair that occurs costs
+    one kernel compile (cached persistently on real TPU hosts), which is
+    why the count is bounded by ``max_rungs``.
+    """
+    import numpy as np
+
+    ls = np.asarray(sorted(int(x) for x in lengths if int(x) > 0))
+    if ls.size == 0:
+        return DEFAULT_BUCKETS
+    rungs = set()
+    for q in np.linspace(0.0, 1.0, max(2, max_rungs)):
+        v = int(np.quantile(ls, q, method="higher"))
+        rungs.add(max(quantum, -(-v // quantum) * quantum))
+    if ls[0] <= 64:
+        rungs.add(64)  # sub-64 pairs shouldn't pad to a full lane tile
+    return tuple(sorted(rungs))

@@ -43,8 +43,10 @@ def scores_tiled(table, codes1, codes2, *, as_int8: bool, tile: int = DEFAULT_TI
 
     Args:
       table: (K, K) f32 scoring table.
-      codes1: (B, NP) int32 symbol codes (padded with 0).
-      codes2: (B, MP) int32.
+      codes1: (B, NP) integer symbol codes (padded with 0; int8 from the
+        batch pipeline — the codes H2D transfer dominates device-path
+        cost on slow links, so 1 byte/symbol matters).
+      codes2: (B, MP) integer codes.
       tile: pairs per kernel tile (B must be a multiple).
       n, m: optional (B,) true lengths.  When given, padded cells (row
         >= n or col >= m) are set to the dtype's "poison" score (-128

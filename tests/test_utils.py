@@ -80,3 +80,25 @@ def test_config_warns_on_nondyadic_penalties():
         warnings.simplefilter("always")
         AlignConfig(gap_open=10.0, gap_extend=0.1)
     assert any("0.25" in str(x.message) for x in w)
+
+
+def test_ladder_for_lengths():
+    from smithwaterman_tpu.config import (
+        DEFAULT_BUCKETS, bucket_len, ladder_for_lengths,
+    )
+
+    rng = __import__("numpy").random.default_rng(3)
+    lens = rng.integers(150, 701, size=500)
+    lad = ladder_for_lengths(lens, max_rungs=8)
+    assert all(b % 128 == 0 or b == 64 for b in lad)
+    assert len(lad) <= 9
+    assert lad == tuple(sorted(lad))
+    # every length fits a rung without falling off the ladder
+    assert max(lens) <= lad[-1]
+    # dense-region padding is bounded by one quantum at the quantiles
+    waste = [bucket_len(int(x), lad) - int(x) for x in lens]
+    assert sum(waste) / len(waste) < 256
+    # degenerate inputs fall back to the default ladder
+    assert ladder_for_lengths([]) == DEFAULT_BUCKETS
+    # the default ladder itself: 128-multiple rungs through 2048
+    assert all(b % 128 == 0 for b in DEFAULT_BUCKETS[1:])
