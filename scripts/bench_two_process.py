@@ -71,8 +71,15 @@ seqs = [
     for i in range(nseq)
 ]
 engine = BatchAligner(mode=LOCAL)
-# warmup: compile the bucket programs outside the timed region
-engine.align_pairs([(seqs[0], seqs[1])] * 16, retain_all=True)
+# warmup: compile the bucket programs outside the timed region — with
+# CHUNK-SHAPED batches: a 16-pair warmup compiled tile=16 while the
+# sweep's chunks bucket to tile=32, so every process recompiled ~1 s
+# INSIDE the timed region and read as a fake per-process fixed cost.
+# The trailing PARTIAL chunk can tile differently — warm it too.
+engine.align_pairs([(seqs[0], seqs[1])] * CHUNK, retain_all=True)
+last = NPAIRS % CHUNK
+if last:
+    engine.align_pairs([(seqs[0], seqs[1])] * last, retain_all=True)
 
 cfg = SweepConfig(chunk_pairs=CHUNK, score_only=False, retain_all=True,
                   process_index=PID, process_count=NPROC)
@@ -119,8 +126,8 @@ def run_config(nproc: int, npairs: int, slen: int, chunk: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pairs", type=int, default=496)
-    ap.add_argument("--len", dest="slen", type=int, default=160)
+    ap.add_argument("--pairs", type=int, default=1035)
+    ap.add_argument("--len", dest="slen", type=int, default=256)
     ap.add_argument("--procs", default="1,2,4")
     ap.add_argument("--chunks", type=int, default=32,
                     help="target sweep chunk count (rounded so every "
@@ -134,7 +141,14 @@ def main():
         nseq += 1
     npairs = nseq * (nseq - 1) // 2
     procs = [int(p) for p in args.procs.split(",")]
+    import math
+    lcm = math.lcm(*procs)
+    # chunk size such that the chunk COUNT divides every process count:
+    # round-robin assignment is then exactly balanced (r4's 13-chunk
+    # split capped efficiency at 92.9% before any real overhead)
     chunk = max(1, npairs // args.chunks)
+    while -(-npairs // chunk) % lcm:
+        chunk += 1
     nchunks = -(-npairs // chunk)
     rows = []
     for nproc in procs:
