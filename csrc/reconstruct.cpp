@@ -73,6 +73,16 @@ int64_t sw_reconstruct_moves(
       je -= (s != GAPINY);
       if (s > GAPINY || ie < 0 || je < 0) return -(k + 1);
     }
+    // Non-local streams may stop at the first boundary cell (i == 0 or
+    // j == 0): the device walk's boundary short-circuit skips the
+    // deterministic terminal-gap tail (ops/device_walk.py), which this
+    // rebuild synthesizes below from (ie, je).  Full streams replay to
+    // ie == je == 0 and are unaffected.  Spans therefore come from the
+    // VIRTUAL full path for non-local modes: the tail consumes the
+    // remaining prefix of one sequence, so the aligned region always
+    // starts at 0 (parity: the pre-shortcut walk emitted those moves
+    // and produced exactly these spans).
+    const bool nonlocal_tail = !local && (ie > 0 || je > 0);
     const int64_t start1 = (i0 > ie) ? ie : -1;
     const int64_t end1 = (i0 > ie) ? i0 - 1 : -1;
     const int64_t start2 = (j0 > je) ? je : -1;
@@ -94,7 +104,7 @@ int64_t sw_reconstruct_moves(
       outlen[k] = c;
       continue;
     }
-    if (start1 < 0 || start2 < 0) {
+    if (!nonlocal_tail && (start1 < 0 || start2 < 0)) {
       // nothing aligned: seq1 over gaps, then gaps over seq2 (rs:512-524)
       if (n1 + n2 > capacity) return -(k + 1);
       for (int64_t t = 0; t < n1; ++t) {
@@ -109,19 +119,41 @@ int64_t sw_reconstruct_moves(
       sp[0] = sp[1] = sp[2] = sp[3] = -1;
       continue;
     }
-    sp[0] = start1;
-    sp[1] = end1;
-    sp[2] = start2;
-    sp[3] = end2;
-    const int64_t tail1 = n1 - 1 - end1, tail2 = n2 - 1 - end2;
-    const int64_t len = start1 + start2 + c + tail1 + tail2;
+    // leading block counts: for a short-circuited non-local stream the
+    // synthesized terminal-gap tail covers seq1[0..ie) (GAPY products)
+    // or seq2[0..je) (GAPX products) — at most one is non-zero since the
+    // walk stops at the FIRST boundary touch.  These produce exactly the
+    // characters the skipped boundary moves would have emitted, in the
+    // same positions.
+    int64_t lead1, lead2, tl1, tl2;
+    if (nonlocal_tail) {
+      lead1 = ie;
+      lead2 = je;
+      sp[0] = (i0 > 0) ? 0 : -1;
+      sp[1] = (i0 > 0) ? i0 - 1 : -1;
+      sp[2] = (j0 > 0) ? 0 : -1;
+      sp[3] = (j0 > 0) ? j0 - 1 : -1;
+      tl1 = n1 - i0;
+      tl2 = n2 - j0;
+    } else {
+      lead1 = start1;
+      lead2 = start2;
+      sp[0] = start1;
+      sp[1] = end1;
+      sp[2] = start2;
+      sp[3] = end2;
+      tl1 = n1 - 1 - end1;
+      tl2 = n2 - 1 - end2;
+    }
+    const int64_t tail1 = tl1, tail2 = tl2;
+    const int64_t len = lead1 + lead2 + c + tail1 + tail2;
     if (len > capacity) return -(k + 1);
     int64_t p = 0;
-    for (int64_t t = 0; t < start1; ++t, ++p) {
+    for (int64_t t = 0; t < lead1; ++t, ++p) {
       o1[p] = s1[t];
       o2[p] = '-';
     }
-    for (int64_t t = 0; t < start2; ++t, ++p) {
+    for (int64_t t = 0; t < lead2; ++t, ++p) {
       o1[p] = '-';
       o2[p] = s2[t];
     }
@@ -135,11 +167,13 @@ int64_t sw_reconstruct_moves(
       }
       p += c;
     }
-    for (int64_t t = end1 + 1; t < n1; ++t, ++p) {
+    const int64_t te1 = nonlocal_tail ? i0 - 1 : end1;
+    const int64_t te2 = nonlocal_tail ? j0 - 1 : end2;
+    for (int64_t t = te1 + 1; t < n1; ++t, ++p) {
       o1[p] = s1[t];
       o2[p] = '-';
     }
-    for (int64_t t = end2 + 1; t < n2; ++t, ++p) {
+    for (int64_t t = te2 + 1; t < n2; ++t, ++p) {
       o1[p] = '-';
       o2[p] = s2[t];
     }

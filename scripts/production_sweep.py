@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--lmax", type=int, default=700)
     ap.add_argument("--rep", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--chunk-scan", default=None,
+                    help="comma list of chunk_pairs to scan warm (e.g. "
+                         "2048,8192,19900): checkpoint granularity vs "
+                         "per-call dispatch overhead tradeoff")
     ap.add_argument("--ladder", default="new", choices=("new", "old"))
     args = ap.parse_args()
 
@@ -62,10 +66,10 @@ def main():
                       "hbm_stream_gbs": probe0}), flush=True)
 
     engine = BatchAligner(config=cfg)
-    scfg = SweepConfig(chunk_pairs=args.chunk, score_only=False,
-                       retain_all=True)
 
-    def one_pass():
+    def one_pass(chunk_pairs):
+        scfg = SweepConfig(chunk_pairs=chunk_pairs, score_only=False,
+                           retain_all=True)
         engine.stats = StatsCollector()
         tmp = tempfile.mkdtemp()
         path = os.path.join(tmp, "sweep.jsonl")
@@ -73,12 +77,28 @@ def main():
         chunks = sweep(seqs, None, engine, path, scfg)
         return time.time() - t0, chunks, engine.stats
 
-    cold_s, chunks, _ = one_pass()
+    chunk_rows = []
+    if args.chunk_scan:
+        # checkpoint granularity vs per-call overhead: each sweep chunk
+        # is one engine call (>= a pooled fill + class walks + a batched
+        # gather), so small chunks pay per-call program overhead 10x over
+        for cp in (int(x) for x in args.chunk_scan.split(",")):
+            one_pass(cp)  # compile this chunking's shapes
+            w, ch, st = one_pass(cp)
+            row = {"chunk_pairs": cp, "chunks": ch,
+                   "warm_s": round(w, 3),
+                   "gcups_effective": round(st.true_cells / w / 1e9, 3),
+                   "padding_waste": round(
+                       1 - st.true_cells / st.padded_cells, 4)}
+            chunk_rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    cold_s, chunks, _ = one_pass(args.chunk)
     print(json.dumps({"cold_s": round(cold_s, 1), "chunks": chunks}),
           flush=True)
     walls, stats = [], None
     for _ in range(args.rep):
-        w, _, stats = one_pass()
+        w, _, stats = one_pass(args.chunk)
         walls.append(round(w, 3))
         print(json.dumps({"warm_s": w}), flush=True)
     best = min(walls)
@@ -93,6 +113,7 @@ def main():
         "true_gcells": round(stats.true_cells / 1e9, 3),
         "gcups_effective": round(stats.true_cells / best / 1e9, 3),
         "padding_waste": summary["padding_waste"],
+        "chunk_scan": chunk_rows,
         "stats": summary,
         "window": {"hbm_stream_gbs": probe0,
                    "hbm_stream_gbs_end": hbm_stream_probe(),

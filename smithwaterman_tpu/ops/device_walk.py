@@ -195,8 +195,17 @@ def walk_bundle_packed(tb, stats, n, m, *, mode: int, L: int):
         emit, s, _, _, ni, nj, ns, ndone = _walk_step(
             ctx, step, i, j, s, done, local=local
         )
+        # boundary short-circuit: once a pair reaches i==0 or j==0 its
+        # remaining moves are a deterministic terminal-gap run (GAPX
+        # along the top row, GAPY along the left column), so stop
+        # emitting — the rebuild re-derives the stop cell by replay and
+        # synthesizes the tail (csrc/reconstruct.cpp).  Global pairs
+        # with mismatched lengths walked thousands of these one per
+        # iteration.  (LOCAL streams never emitted on the boundary —
+        # this only retires iterations, the stream bytes are identical.)
         o = jax.lax.dynamic_update_index_in_dim(
             o, jnp.where(emit, s, 0).astype(jnp.uint8), step, 0)
+        ndone = ndone | (ni == 0) | (nj == 0)
         return step + 1, ni, nj, ns, ndone, cnt + emit, o
 
     _, _, _, _, _, cnt, out_s = jax.lax.while_loop(
@@ -294,7 +303,9 @@ def walk_bundle_pooled(tbs, statss, ns, ms, *, mode: int, L: int):
         ni = jnp.where(emit & (s != CELL_GAPINX), i - 1, i)
         nj = jnp.where(emit & (s != CELL_GAPINY), j - 1, j)
         ns = jnp.where(emit, prev, s)
-        ndone = done | stop | ((ni == 0) & (nj == 0))
+        # boundary short-circuit (see walk_bundle_packed): terminal-gap
+        # tails are deterministic; the rebuild synthesizes them
+        ndone = done | stop | (ni == 0) | (nj == 0)
         o = jax.lax.dynamic_update_index_in_dim(
             o, jnp.where(emit, s, 0).astype(jnp.uint8), step, 0)
         return step + 1, ni, nj, ns, ndone, cnt + emit, o

@@ -149,6 +149,20 @@ def reconstruct_packed(
         idx1, idx2 = device_walk.moves_to_path(
             moves[:, col0:], cnt, int(i0[k]), int(j0[k]), k
         )
+        if not local:
+            # boundary short-circuit (ops/device_walk.py): non-local
+            # streams may stop at the first boundary cell; synthesize the
+            # deterministic terminal-gap tail the device walk skipped so
+            # reconstruct_alignment sees the full path (the native
+            # rebuild does the same from its replayed stop cell)
+            ie = int(i0[k]) - sum(1 for x in idx1 if x >= 0)
+            je = int(j0[k]) - sum(1 for x in idx2 if x >= 0)
+            if ie > 0:
+                idx1 = list(range(ie)) + list(idx1)
+                idx2 = [-1] * ie + list(idx2)
+            elif je > 0:
+                idx1 = [-1] * je + list(idx1)
+                idx2 = list(range(je)) + list(idx2)
         res.append(reconstruct_alignment(
             seq1s[k], seq2s[k], idx1, idx2, float(scores[k]),
             retain_all, mode,
