@@ -719,12 +719,17 @@ class BatchAligner:
         ):
             self._flush_fills()
             self._flush_pool()
-        # start the codes H2D transfers NOW (device_put is async): the
-        # single pooled program can't overlap uploads with compute the
-        # way per-chunk dispatches pipeline them, so overlap them with
-        # the host's remaining bucket/pack work instead
+        # ONE flat codes buffer per chunk, device_put NOW (async): each
+        # tunnel transfer costs ~1.5 ms of round trip regardless of
+        # size, so per-array uploads dominated fine-ladder small-batch
+        # calls; starting the transfer at stage time overlaps it with
+        # the host's remaining bucket/pack work (the single pooled
+        # program can't pipeline uploads behind compute the way
+        # per-chunk dispatches did)
+        flat = np.concatenate([codes1.ravel(), codes2.ravel()])
         self._fill_stage.append(dict(
-            codes1=jax.device_put(codes1), codes2=jax.device_put(codes2),
+            flat=jax.device_put(flat),
+            B=codes1.shape[0], NP=codes1.shape[1], MP=codes2.shape[1],
             n=n, m=m, tile=tile,
             masked=masked, score_only=score_only, pend=pend, ref=ref,
         ))
@@ -742,17 +747,19 @@ class BatchAligner:
         import jax.numpy as jnp
 
         table = np.asarray(self.scoring_matrix.table, np.float32)
-        chunks = tuple(
-            (st["codes1"], st["codes2"],
-             jnp.asarray(st["n"], jnp.int32),
-             jnp.asarray(st["m"], jnp.int32))
+        flats = tuple(st["flat"] for st in stage)
+        # every chunk's lengths in ONE upload (per-chunk n/m transfers
+        # were ~2/3 of a fine-ladder call's ~244 tunnel round trips)
+        lens = jnp.asarray(np.concatenate(
+            [np.concatenate([st["n"], st["m"]]) for st in stage]
+        ), jnp.int32)
+        metas = tuple(
+            (st["B"], st["NP"], st["MP"], st["tile"], st["score_only"],
+             st["masked"])
             for st in stage
         )
-        metas = tuple(
-            (st["tile"], st["score_only"], st["masked"]) for st in stage
-        )
         outs = batch_ops.fill_many(
-            jnp.asarray(table), chunks,
+            jnp.asarray(table), flats, lens,
             as_int8=self._table_is_int, mode=self.mode,
             og=self.config.og, eg=self.config.eg,
             interpret=self.backend == "pallas_interpret", metas=metas,

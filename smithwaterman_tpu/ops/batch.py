@@ -253,25 +253,32 @@ def fill_from_codes(
 @functools.partial(jax.jit, static_argnames=(
     "as_int8", "mode", "og", "eg", "interpret", "metas",
 ))
-def fill_many(table, chunks, *, as_int8: bool, mode: int, og: float,
+def fill_many(table, flats, lens, *, as_int8: bool, mode: int, og: float,
               eg: float, interpret: bool, metas):
     """Score compute + kernel fill for MANY bucket-chunks in ONE
     dispatched program — the fill-side analogue of
     ``device_walk.walk_bundle_pooled``.
 
-    The reference suite buckets into ~26 distinct (np_pad, mp_pad)
-    shapes, so per-bucket ``fill_from_codes`` dispatches pay ~26 program
-    executions whose per-call overhead dwarfs their ~10 ms of actual fill
-    compute (MEASUREMENTS_r04.md §9).  Tracing every chunk's score+fill
-    into one jit collapses that to a single execution; XLA runs the
-    kernels back-to-back on device and frees each chunk's score tensor
-    before the next kernel runs.
+    Tracing every chunk's score+fill into one jit collapses the
+    per-bucket program executions to a single one; XLA runs the kernels
+    back-to-back on device and frees each chunk's score tensor before
+    the next kernel runs.
+
+    Argument packing is transfer-count-aware: each chunk ships ONE flat
+    codes buffer (``codes1.ravel() ++ codes2.ravel()``) and every
+    chunk's lengths ride ONE shared array — per-chunk
+    (codes1, codes2, n, m) uploads cost ~1.5 ms of tunnel round trip
+    EACH, and a fine-ladder 100-pair suite call made ~244 of them
+    (~0.4 s, more than all its device compute).
 
     Args:
-      table:  (K, K) f32 scoring table (shared by every chunk).
-      chunks: tuple of per-chunk ``(codes1 (B, NP), codes2 (B, MP),
-              n (B,), m (B,))``.
-      metas:  static tuple of per-chunk ``(tile, score_only, masked)``.
+      table: (K, K) f32 scoring table (shared by every chunk).
+      flats: tuple of per-chunk 1-D int8/int32 code buffers,
+             ``codes1.ravel() ++ codes2.ravel()``.
+      lens:  (sum of 2*B over chunks,) int32: ``n_0 ++ m_0 ++ n_1 ++
+             m_1 ++ ...`` in chunk order.
+      metas: static tuple of per-chunk
+             ``(B, NP, MP, tile, score_only, masked)``.
 
     Returns a tuple of per-chunk ``(tb, stats)`` DEVICE arrays (tb is
     None for score-only chunks).  The program specializes on the ordered
@@ -280,14 +287,18 @@ def fill_many(table, chunks, *, as_int8: bool, mode: int, og: float,
     same workload re-traces a multi-second program.
     """
     out = []
-    for (codes1, codes2, n, m), (tile, score_only, masked) in zip(
-        chunks, metas
-    ):
+    off = 0
+    for flat, (B, NP, MP, tile, score_only, masked) in zip(flats, metas):
+        codes1 = flat[: B * NP].reshape(B, NP)
+        codes2 = flat[B * NP:].reshape(B, MP)
+        n = lens[off: off + B]
+        m = lens[off + B: off + 2 * B]
+        off += 2 * B
         S = scores_tiled(
             table, codes1, codes2, as_int8=as_int8, tile=tile,
             n=n if masked else None, m=m if masked else None,
         )
-        G = codes1.shape[0] // tile
+        G = B // tile
         out.append(pallas_dp.fill_tiled(
             S, n.reshape(G, tile, 1), m.reshape(G, tile, 1), mode=mode,
             og=float(og), eg=float(eg), score_only=score_only,
