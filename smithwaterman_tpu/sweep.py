@@ -37,6 +37,13 @@ class SweepConfig:
     # emit its per-bucket JSON report (GCUPS, padding waste) on stderr
     # when the sweep call finishes (SURVEY.md §5 observability)
     stats: bool = False
+    # rebuild the engine's bucket ladder from the sweep inputs' length
+    # distribution (config.ladder_for_lengths): padding concentrates
+    # where the sequences actually are.  Each rung pair that occurs is a
+    # kernel compile (persistently cached on real TPU hosts), bounded by
+    # auto_ladder_rungs.
+    auto_ladder: bool = False
+    auto_ladder_rungs: int = 12
 
 
 def _pair_indices(n1: int, n2: Optional[int]) -> Iterator[Tuple[int, int]]:
@@ -71,6 +78,19 @@ def sweep(
         from .utils.metrics import StatsCollector
 
         engine.stats = StatsCollector()
+    if cfg.auto_ladder:
+        from dataclasses import replace
+
+        from .config import ladder_for_lengths
+
+        lengths = [len(s.seq) for s in set1]
+        if set2 is not None:
+            lengths += [len(s.seq) for s in set2]
+        engine.config = replace(
+            engine.config,
+            buckets=ladder_for_lengths(lengths,
+                                       max_rungs=cfg.auto_ladder_rungs),
+        )
     pairs_idx = list(_pair_indices(len(set1), None if set2 is None else len(set2)))
     chunks = _chunks(pairs_idx, cfg.chunk_pairs)
 

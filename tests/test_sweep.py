@@ -103,3 +103,32 @@ def test_sweep_stats_option(tmp_path, capsys):
     assert rep["pairs"] == 15
     assert rep["padding_waste"] >= 0.0
     assert eng.stats is not None
+
+
+def test_sweep_auto_ladder(tmp_path):
+    """auto_ladder rebuilds the engine's bucket ladder from the inputs'
+    length distribution (config.ladder_for_lengths); scores unchanged."""
+    import numpy as np
+
+    from smithwaterman_tpu import BatchAligner, LOCAL, SeqData
+    from smithwaterman_tpu.sweep import SweepConfig, load_sweep, sweep
+
+    rng = np.random.default_rng(5)
+    letters = list("ARNDCQEGHILKMFPSTWYV")
+    seqs = [
+        SeqData(f"s{i}", "", "".join(rng.choice(
+            letters, int(rng.integers(150, 400)))))
+        for i in range(8)
+    ]
+    e1 = BatchAligner(mode=LOCAL, backend="scan")
+    sweep(seqs, None, e1, str(tmp_path / "a.jsonl"),
+          SweepConfig(chunk_pairs=16, auto_ladder=True,
+                      auto_ladder_rungs=4))
+    assert len(e1.config.buckets) <= 5
+    assert max(len(s.seq) for s in seqs) <= e1.config.buckets[-1]
+    e2 = BatchAligner(mode=LOCAL, backend="scan")
+    sweep(seqs, None, e2, str(tmp_path / "b.jsonl"),
+          SweepConfig(chunk_pairs=16))
+    r1 = sorted(map(tuple, load_sweep(str(tmp_path / "a.jsonl"))))
+    r2 = sorted(map(tuple, load_sweep(str(tmp_path / "b.jsonl"))))
+    assert r1 == r2
