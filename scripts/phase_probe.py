@@ -68,7 +68,10 @@ def main():
     from smithwaterman_tpu import GLOBAL, GLOCAL, LOCAL
     from smithwaterman_tpu.batch_aligner import BatchAligner
 
-    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    from smithwaterman_tpu.utils.metrics import hbm_stream_probe
+
+    print(json.dumps({"backend": jax.default_backend(),
+                      "hbm_stream_gbs": hbm_stream_probe()}), flush=True)
     pairs = load_pairs()
     rng = np.random.default_rng(0)
     shuf = [pairs[i] for i in rng.permutation(len(pairs))]
@@ -93,6 +96,9 @@ def main():
             _, row = run(ba, big_shuf, f"local_{args.rep}x_score_only",
                          score_only=True)
             rows.append(row)
+    rows.append({"metric": "window_end",
+                 "hbm_stream_gbs": hbm_stream_probe()})
+    print(json.dumps(rows[-1]), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=1)
