@@ -28,9 +28,165 @@ constexpr int64_t MATCH = 0;
 constexpr int64_t GAPINX = 1;  // gap in seq1: consumes j
 constexpr int64_t GAPINY = 2;  // gap in seq2: consumes i
 
+// Token streams (walk_bundle_pooled_tokens): one byte per token, state
+// in bits 0-1, extra MATCH steps e in bits 2-5 (the walk consumed 1+e
+// cells).  expand-to-moves view: token (s, e) == (1+e) moves of s.
+struct TokenCursor {
+  const uint8_t* toks;
+  int64_t row_stride;
+  int64_t k;
+  int64_t t = 0;     // token index
+  int64_t rep = 0;   // moves already taken from the current token
+  int64_t step(int64_t* s_out) {
+    const uint8_t tok = toks[t * row_stride + k];
+    *s_out = tok & 3;
+    const int64_t reps = 1 + (tok >> 2);
+    if (++rep >= reps) {
+      rep = 0;
+      ++t;
+    }
+    return reps;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Token-stream variant of sw_reconstruct_moves (below): toks is
+// (n_rows, B) row-major, ONE token byte per entry (state bits 0-1,
+// extra MATCH steps bits 2-5), cnt counts TOKENS.  Everything else —
+// argument meaning, span semantics, the non-local boundary-tail
+// synthesis — matches sw_reconstruct_moves; see its comment.
+int64_t sw_reconstruct_tokens(
+    const uint8_t* toks, int64_t row_stride, int64_t n_rows,
+    const int32_t* cnt, const int32_t* i0s, const int32_t* j0s,
+    const uint8_t* seq1, const int64_t* off1, const uint8_t* seq2,
+    const int64_t* off2, int64_t count, int64_t local_flag,
+    int64_t retain_flag, uint8_t* out1, uint8_t* out2,
+    const int64_t* outoff, int64_t* outlen, int64_t* spans) {
+  const bool local = local_flag != 0;
+  const bool retain = retain_flag != 0;
+  for (int64_t k = 0; k < count; ++k) {
+    const uint8_t* s1 = seq1 + off1[k];
+    const uint8_t* s2 = seq2 + off2[k];
+    const int64_t n1 = off1[k + 1] - off1[k];
+    const int64_t n2 = off2[k + 1] - off2[k];
+    const int64_t c = cnt[k];
+    const int64_t i0 = i0s[k], j0 = j0s[k];
+    const int64_t capacity = outoff[k + 1] - outoff[k];
+    uint8_t* o1 = out1 + outoff[k];
+    uint8_t* o2 = out2 + outoff[k];
+    if (c > n_rows || i0 > n1 || j0 > n2 || i0 < 0 || j0 < 0) {
+      return -(k + 1);
+    }
+    // pass 1: token scan -> expanded move count + path start (ie, je)
+    int64_t ie = i0, je = j0, cexp = 0;
+    for (int64_t t = 0; t < c; ++t) {
+      const uint8_t tok = toks[t * row_stride + k];
+      const int64_t s = tok & 3;
+      const int64_t reps = 1 + (tok >> 2);
+      if (s > GAPINY) return -(k + 1);
+      cexp += reps;
+      ie -= (s != GAPINX) ? reps : 0;
+      je -= (s != GAPINY) ? reps : 0;
+      if (ie < 0 || je < 0) return -(k + 1);
+    }
+    const int64_t start1 = (i0 > ie) ? ie : -1;
+    const int64_t end1 = (i0 > ie) ? i0 - 1 : -1;
+    const int64_t start2 = (j0 > je) ? je : -1;
+    const int64_t end2 = (j0 > je) ? j0 - 1 : -1;
+    const bool nonlocal_tail = !local && (ie > 0 || je > 0);
+    int64_t* sp = spans + 4 * k;
+    if (local && !retain) {
+      if (cexp > capacity) return -(k + 1);
+      sp[0] = start1;
+      sp[1] = end1;
+      sp[2] = start2;
+      sp[3] = end2;
+      int64_t i = i0, j = j0;
+      TokenCursor cur{toks, row_stride, k};
+      for (int64_t t = 0; t < cexp; ++t) {
+        int64_t s;
+        cur.step(&s);
+        o1[cexp - 1 - t] = (s == GAPINX) ? '-' : s1[--i];
+        o2[cexp - 1 - t] = (s == GAPINY) ? '-' : s2[--j];
+      }
+      outlen[k] = cexp;
+      continue;
+    }
+    if (!nonlocal_tail && (start1 < 0 || start2 < 0)) {
+      if (n1 + n2 > capacity) return -(k + 1);
+      for (int64_t t = 0; t < n1; ++t) {
+        o1[t] = s1[t];
+        o2[t] = '-';
+      }
+      for (int64_t t = 0; t < n2; ++t) {
+        o1[n1 + t] = '-';
+        o2[n1 + t] = s2[t];
+      }
+      outlen[k] = n1 + n2;
+      sp[0] = sp[1] = sp[2] = sp[3] = -1;
+      continue;
+    }
+    int64_t lead1, lead2, tl1, tl2, te1, te2;
+    if (nonlocal_tail) {
+      lead1 = ie;
+      lead2 = je;
+      sp[0] = (i0 > 0) ? 0 : -1;
+      sp[1] = (i0 > 0) ? i0 - 1 : -1;
+      sp[2] = (j0 > 0) ? 0 : -1;
+      sp[3] = (j0 > 0) ? j0 - 1 : -1;
+      tl1 = n1 - i0;
+      tl2 = n2 - j0;
+      te1 = i0 - 1;
+      te2 = j0 - 1;
+    } else {
+      lead1 = start1;
+      lead2 = start2;
+      sp[0] = start1;
+      sp[1] = end1;
+      sp[2] = start2;
+      sp[3] = end2;
+      tl1 = n1 - 1 - end1;
+      tl2 = n2 - 1 - end2;
+      te1 = end1;
+      te2 = end2;
+    }
+    const int64_t len = lead1 + lead2 + cexp + tl1 + tl2;
+    if (len > capacity) return -(k + 1);
+    int64_t p = 0;
+    for (int64_t t = 0; t < lead1; ++t, ++p) {
+      o1[p] = s1[t];
+      o2[p] = '-';
+    }
+    for (int64_t t = 0; t < lead2; ++t, ++p) {
+      o1[p] = '-';
+      o2[p] = s2[t];
+    }
+    {
+      int64_t i = i0, j = j0;
+      TokenCursor cur{toks, row_stride, k};
+      for (int64_t t = 0; t < cexp; ++t) {
+        int64_t s;
+        cur.step(&s);
+        o1[p + cexp - 1 - t] = (s == GAPINX) ? '-' : s1[--i];
+        o2[p + cexp - 1 - t] = (s == GAPINY) ? '-' : s2[--j];
+      }
+      p += cexp;
+    }
+    for (int64_t t = te1 + 1; t < n1; ++t, ++p) {
+      o1[p] = s1[t];
+      o2[p] = '-';
+    }
+    for (int64_t t = te2 + 1; t < n2; ++t, ++p) {
+      o1[p] = '-';
+      o2[p] = s2[t];
+    }
+    outlen[k] = len;
+  }
+  return 0;
+}
 
 // moves: (n_rows, B) row-major packed bytes, pair k = column k; the move at
 //   step t of pair k is (moves[(t>>2)*row_stride + k] >> ((t&3)*2)) & 3.

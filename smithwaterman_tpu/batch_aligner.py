@@ -215,6 +215,20 @@ class BatchAligner:
         # analogue of the pooled walk.  SWTPU_POOLED_FILL=0 restores
         # per-chunk fill_from_codes dispatches for A/B.
         self.pooled_fill = os.environ.get("SWTPU_POOLED_FILL", "1") == "1"
+        # token walks: the fill additionally emits per-cell match-run
+        # bytes (pallas_dp emit_runs) and the pooled walk jumps up to 16
+        # diagonal steps per serial iteration, emitting (state, runlen)
+        # tokens the rebuild expands.  Requires the pooled fill+walk
+        # path; costs a second pointer-sized device array per chunk and
+        # a 4x larger walk-bundle D2H (1 byte/token vs 2 bits/move).
+        # Default OFF: on this environment's ~25-45 MB/s tunnel the
+        # extra transfer outweighs the saved serial iterations in every
+        # paired A/B rep (MEASUREMENTS_r05.md §8); on PCIe-attached TPU
+        # hosts the tradeoff reverses — flip SWTPU_TOKEN_WALK=1 there.
+        self.token_walk = (
+            os.environ.get("SWTPU_TOKEN_WALK", "0") == "1"
+            and self.pooled_fill
+        )
         # per-run pooled-fill staging (see _stage_fill/_flush_fills)
         self._fill_stage: List[dict] = []
         self._fill_stage_tb = 0
@@ -714,6 +728,8 @@ class BatchAligner:
         tests/test_packed_walk.py's shuffled-workload case)."""
         tb_bytes = (0 if score_only
                     else codes1.shape[0] * codes1.shape[1] * codes2.shape[1])
+        if self.token_walk:
+            tb_bytes *= 2  # the match-run array doubles pointer bytes
         if self._fill_stage and (
             self._fill_stage_tb + tb_bytes > self.tb_hbm_bytes
         ):
@@ -763,19 +779,24 @@ class BatchAligner:
             as_int8=self._table_is_int, mode=self.mode,
             og=self.config.og, eg=self.config.eg,
             interpret=self.backend == "pallas_interpret", metas=metas,
+            emit_runs=self.token_walk,
         )
-        for st, (tb, stats) in zip(stage, outs):
+        for st, (tb, run, stats) in zip(stage, outs):
             # through ref, not pend: single-chunk pends were flattened
             # into the bucket dict by update() before this flush ran
             st["ref"]["stats_d"] = stats
             if not st["score_only"]:
-                self._pool_add(st["ref"], tb, stats, st["n"], st["m"])
+                self._pool_add(st["ref"], tb, run, stats, st["n"],
+                               st["m"])
 
-    def _pool_add(self, ref, tb, stats, n, m) -> None:
-        """Register a fill's pointer chunk for the pooled walk in its
-        path-length class; flush that class first when this chunk would
-        bust the HBM budget (peak device memory: live chunks + the pool
-        concat, each bounded by the budget)."""
+    def _pool_add(self, ref, tb, run, stats, n, m) -> None:
+        """Register a fill's pointer chunk (and its match-run array,
+        token walks) for the pooled walk in its path-length class; flush
+        that class first when this chunk would bust the HBM budget (peak
+        device memory: live chunks + the pool concat, each bounded by
+        the budget).  The int32 gather limit applies to the tb pool and
+        the run pool SEPARATELY (same flat size each), so the class
+        budget keeps using tb bytes."""
         budget = min(self.tb_hbm_bytes, _WALK_MAX_TB)
         nbytes = int(np.prod(tb.shape))
         Lmax = device_walk.max_path_len(tb.shape[1], tb.shape[3])
@@ -784,7 +805,7 @@ class BatchAligner:
                 and self._pool_bytes.get(lc, 0) + nbytes > budget):
             self._flush_class(lc)
         self._pool_chunks.setdefault(lc, []).append(
-            (ref, tb, stats, np.asarray(n), np.asarray(m))
+            (ref, tb, run, stats, np.asarray(n), np.asarray(m))
         )
         self._pool_bytes[lc] = self._pool_bytes.get(lc, 0) + nbytes
 
@@ -808,16 +829,29 @@ class BatchAligner:
         # re-traces the whole pooled program every call (~2.8 s Python,
         # measured on the warm suite)
         chunks.sort(key=lambda c: c[1].shape)
-        cnt_d, mv_d = device_walk.walk_bundle_pooled(
-            tuple(c[1] for c in chunks),
-            tuple(c[2] for c in chunks),
-            tuple(jnp.asarray(c[3], jnp.int32) for c in chunks),
-            tuple(jnp.asarray(c[4], jnp.int32) for c in chunks),
-            mode=self.mode, L=L,
-        )
-        pool = {"kind": "pool_bundle", "cnt_d": cnt_d, "mv_d": mv_d}
+        runs = tuple(c[2] for c in chunks)
+        tokens = all(r is not None for r in runs)
+        assert tokens or not any(r is not None for r in runs),             "mixed token/move chunks in one pool class"
+        if tokens:
+            cnt_d, mv_d = device_walk.walk_bundle_pooled_tokens(
+                tuple(c[1] for c in chunks), runs,
+                tuple(c[3] for c in chunks),
+                tuple(jnp.asarray(c[4], jnp.int32) for c in chunks),
+                tuple(jnp.asarray(c[5], jnp.int32) for c in chunks),
+                mode=self.mode, L=L,
+            )
+        else:
+            cnt_d, mv_d = device_walk.walk_bundle_pooled(
+                tuple(c[1] for c in chunks),
+                tuple(c[3] for c in chunks),
+                tuple(jnp.asarray(c[4], jnp.int32) for c in chunks),
+                tuple(jnp.asarray(c[5], jnp.int32) for c in chunks),
+                mode=self.mode, L=L,
+            )
+        pool = {"kind": "pool_bundle", "cnt_d": cnt_d, "mv_d": mv_d,
+                "tokens": tokens}
         c0 = 0
-        for ref, tb, _, _, _ in chunks:
+        for ref, tb, _, _, _, _ in chunks:
             B = tb.shape[0] * tb.shape[2]
             ref["pool"] = pool
             ref["col0"] = c0
@@ -842,6 +876,7 @@ class BatchAligner:
             if cnt == 0:
                 continue
             mv_col0 = 0
+            tokens = False  # move streams unless the pool says otherwise
             if part["kind"] == "device_walk_packed_sharded":
                 # per-shard leading axis; shard-major row order == pair
                 # order (cf. _decode_sharded_part)
@@ -859,6 +894,7 @@ class BatchAligner:
                 # slice is non-contiguous and would copy per chunk
                 mv = np.asarray(pool["mv_d"])
                 mv_col0 = c0
+                tokens = pool.get("tokens", False)
             else:
                 assert part["kind"] == "device_walk_packed", part["kind"]
                 st = np.asarray(part["stats_d"])[:cnt]
@@ -878,7 +914,7 @@ class BatchAligner:
             seq2s = [seqs[i][1].seq for i in idxs]
             res = recon.reconstruct_packed(
                 seq1s, seq2s, mv, cnt_arr, i0, j0, scores,
-                self.mode, retain_all, col0=mv_col0,
+                self.mode, retain_all, col0=mv_col0, tokens=tokens,
             )
             for k, idx in enumerate(idxs):
                 results[idx] = res[k]
@@ -1039,7 +1075,7 @@ class BatchAligner:
                 interpret=interp, masked=masked_s,
             )
             pend["stats_d"] = stats
-            self._pool_add(ref, tb, stats, n, m)
+            self._pool_add(ref, tb, None, stats, n, m)
             return pend
         if (score_only and self.pooled_walk
                 and not self.diag_scores

@@ -251,10 +251,10 @@ def fill_from_codes(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "as_int8", "mode", "og", "eg", "interpret", "metas",
+    "as_int8", "mode", "og", "eg", "interpret", "metas", "emit_runs",
 ))
 def fill_many(table, flats, lens, *, as_int8: bool, mode: int, og: float,
-              eg: float, interpret: bool, metas):
+              eg: float, interpret: bool, metas, emit_runs: bool = False):
     """Score compute + kernel fill for MANY bucket-chunks in ONE
     dispatched program — the fill-side analogue of
     ``device_walk.walk_bundle_pooled``.
@@ -280,11 +280,13 @@ def fill_many(table, flats, lens, *, as_int8: bool, mode: int, og: float,
       metas: static tuple of per-chunk
              ``(B, NP, MP, tile, score_only, masked)``.
 
-    Returns a tuple of per-chunk ``(tb, stats)`` DEVICE arrays (tb is
-    None for score-only chunks).  The program specializes on the ordered
-    chunk-shape composition — callers must stage chunks in a canonical
-    order (see BatchAligner._stage_fill) or every shuffled call of the
-    same workload re-traces a multi-second program.
+    Returns a tuple of per-chunk ``(tb, run, stats)`` DEVICE arrays (tb
+    and run are None for score-only chunks; run is None unless
+    ``emit_runs`` — the match-run bytes token walks consume,
+    pallas_dp.fill_tiled(emit_runs=True)).  The program specializes on
+    the ordered chunk-shape composition — callers must stage chunks in a
+    canonical order (see BatchAligner._stage_fill) or every shuffled
+    call of the same workload re-traces a multi-second program.
     """
     out = []
     off = 0
@@ -299,11 +301,13 @@ def fill_many(table, flats, lens, *, as_int8: bool, mode: int, og: float,
             n=n if masked else None, m=m if masked else None,
         )
         G = B // tile
-        out.append(pallas_dp.fill_tiled(
+        r = pallas_dp.fill_tiled(
             S, n.reshape(G, tile, 1), m.reshape(G, tile, 1), mode=mode,
             og=float(og), eg=float(eg), score_only=score_only,
             interpret=interpret, masked_s=masked,
-        ))
+            emit_runs=emit_runs and not score_only,
+        )
+        out.append(r if len(r) == 3 else (r[0], None, r[1]))
     return tuple(out)
 
 

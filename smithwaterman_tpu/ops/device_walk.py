@@ -318,6 +318,133 @@ def walk_bundle_pooled(tbs, statss, ns, ms, *, mode: int, L: int):
     return cnt, moves
 
 
+@partial(jax.jit, static_argnames=("mode", "L"))
+def walk_bundle_pooled_tokens(tbs, runs, statss, ns, ms, *, mode: int,
+                              L: int):
+    """Pooled lockstep walk emitting (state, runlen) TOKENS.
+
+    Like :func:`walk_bundle_pooled`, but each pair additionally gathers
+    its cell's match-run byte (``pallas_dp.fill_tiled(emit_runs=True)``)
+    and, when its state is MATCH, takes up to 16 diagonal steps in ONE
+    serial iteration — the walk's cost is its serial gather chain
+    (~30-55 us/iteration), so jumping runs cuts the iteration count by
+    the mean match-run length (alignments are mostly diagonal).  The two
+    gathers per iteration (tb byte + run byte) target the same flat
+    index in separate pools, so they issue in parallel and the latency
+    chain stays one gather deep.
+
+    Token ``t`` of pair ``k`` is the byte ``toks[t, k]``: state in bits
+    0-1, extra steps ``e`` in bits 2-5 (the walk consumed ``1+e`` cells;
+    ``e`` is 0 for non-MATCH states).  Tokens are valid for
+    ``t < cnt[k]``, walk order (t = 0 ends the path).  Local stop and
+    the non-local boundary short-circuit follow walk_bundle_packed:
+    consumers re-derive the stop cell by replay and synthesize terminal
+    gaps.
+
+    Returns ``(cnt (Btot,) i32, toks (L, Btot) u8)``; pair columns
+    follow chunk order.
+    """
+    local = mode == LOCAL
+    total = sum(int(np.prod(tb.shape)) for tb in tbs)
+    if total >= 1 << 31:  # flat index arithmetic is int32
+        raise ValueError(
+            f"pooled pointer arrays total {total} bytes >= 2^31; the "
+            "caller must budget pools below the int32 gather limit"
+        )
+    flats, rflats, off0s, rows, npvs, mpvs = [], [], [], [], [], []
+    i0s, j0s, s0s, dones = [], [], [], []
+    off = 0
+    for tb, run, stt, n, m in zip(tbs, runs, statss, ns, ms):
+        G, NP, T, MP = tb.shape
+        B = G * T
+        flats.append(tb.reshape(-1))
+        rflats.append(run.reshape(-1))
+        b = jnp.arange(B, dtype=jnp.int32)
+        off0s.append(off + (b // T) * (NP * T * MP) + (b % T) * MP)
+        rows.append(jnp.full((B,), T * MP, jnp.int32))
+        npvs.append(jnp.full((B,), NP, jnp.int32))
+        mpvs.append(jnp.full((B,), MP, jnp.int32))
+        _, i0, j0, s0, d0 = _walk_starts(stt, n, m, mode)
+        i0s.append(i0)
+        j0s.append(j0)
+        s0s.append(s0)
+        dones.append(d0)
+        off += tb.size
+    pool = jnp.concatenate(flats)
+    rpool = jnp.concatenate(rflats)
+    off0 = jnp.concatenate(off0s)
+    rowstride = jnp.concatenate(rows)
+    npv = jnp.concatenate(npvs)
+    mpv = jnp.concatenate(mpvs)
+    i0 = jnp.concatenate(i0s)
+    j0 = jnp.concatenate(j0s)
+    s0 = jnp.concatenate(s0s)
+    done0 = jnp.concatenate(dones)
+    Btot = off0.shape[0]
+
+    out_t = jnp.zeros((L, Btot), jnp.uint8)
+    cnt0 = jnp.zeros((Btot,), jnp.int32)
+
+    def cond(c):
+        step, done = c[0], c[4]
+        return (step < L) & jnp.any(~done)
+
+    def body(c):
+        step, i, j, s, done, cnt, o = c
+        # same cell rules as _walk_step, pool-addressed, plus run jumps
+        s = jnp.where((j == 0) & (i > 0), CELL_GAPINY,
+                      jnp.where((i == 0) & (j > 0), CELL_GAPINX, s))
+        interior = (i >= 1) & (j >= 1)
+        ii = jnp.clip(i - 1, 0, npv - 1)
+        jj = jnp.clip(j - 1, 0, mpv - 1)
+        idx = off0 + ii * rowstride + jj
+        ptr = pool[idx].astype(jnp.int32)
+        rb = rpool[idx].astype(jnp.int32)
+        prev_in = (ptr >> (2 * s)) & 3
+        origin = (i == 0) & (j == 0)
+        row0 = (i == 0) & (j > 0)
+        bstate = jnp.where(origin, CELL_MATCH,
+                           jnp.where(row0, CELL_GAPINX, CELL_GAPINY))
+        bprev = jnp.where(local & (s == bstate), CELL_STOP, bstate)
+        prev = jnp.where(interior, prev_in, bprev)
+        is_m = (s == CELL_MATCH) & interior
+        e = jnp.where(is_m, rb & 15, 0)
+        xs = (rb >> 4) & 3
+        # LOCAL zero cells carry the reserved (15, STOP) marker: landing
+        # there in state M ends the path without emission (walk_tiled
+        # reads the same answer from the ptr's STOP bits)
+        m_marker = (rb & 15) == 15
+        m_marker = m_marker & (xs == CELL_STOP)
+        stop = local & jnp.where(is_m, m_marker,
+                                 prev == CELL_STOP)
+        emit = (~done) & (~stop)
+        e = jnp.where(stop, 0, e)
+        adv = 1 + e
+        ni = jnp.where(emit & (s != CELL_GAPINX), i - adv, i)
+        nj = jnp.where(emit & (s != CELL_GAPINY), j - adv, j)
+        ns = jnp.where(emit, jnp.where(is_m, xs, prev), s)
+        # boundary short-circuit + local STOP exit states end the pair
+        ndone = (done | stop | (ni == 0) | (nj == 0)
+                 | (local & (ns == CELL_STOP)))
+        o = jax.lax.dynamic_update_index_in_dim(
+            o, jnp.where(emit, s | (e << 2), 0).astype(jnp.uint8),
+            step, 0)
+        return step + 1, ni, nj, ns, ndone, cnt + emit, o
+
+    _, _, _, _, _, cnt, out_t = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, s0, done0, cnt0, out_t)
+    )
+    return cnt, out_t
+
+
+def tokens_to_states(tok_col: np.ndarray, c: int) -> np.ndarray:
+    """(L,) token byte column -> expanded per-step uint8 states, walk
+    order (the numpy counterpart of csrc sw_reconstruct_tokens's
+    expansion; used by the Python fallback)."""
+    t = np.asarray(tok_col[:c], np.int64)
+    return np.repeat((t & 3).astype(np.uint8), 1 + (t >> 2))
+
+
 def decode_bundle(stats, idx) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host view of a fetched walk bundle: (stats (B, 8) f32,
     idx1 (L, B), idx2 (L, B))."""
@@ -345,6 +472,17 @@ def unpack_moves(mv_col: np.ndarray, c: int) -> np.ndarray:
     return s[:c]
 
 
+def _states_to_path(s: np.ndarray, i0: int, j0: int):
+    """Walk-order per-step states -> left-to-right aligned index lists."""
+    di = (s != CELL_GAPINX).astype(np.int64)
+    dj = (s != CELL_GAPINY).astype(np.int64)
+    ib = i0 - np.concatenate([[0], np.cumsum(di[:-1])])
+    jb = j0 - np.concatenate([[0], np.cumsum(dj[:-1])])
+    r1 = np.where(s == CELL_GAPINX, -1, ib - 1)
+    r2 = np.where(s == CELL_GAPINY, -1, jb - 1)
+    return r1[::-1].tolist(), r2[::-1].tolist()
+
+
 def moves_to_path(moves: np.ndarray, cnt: np.ndarray, i0: int, j0: int,
                   k: int):
     """Replay pair ``k``'s packed move column into left-to-right aligned
@@ -354,10 +492,15 @@ def moves_to_path(moves: np.ndarray, cnt: np.ndarray, i0: int, j0: int,
     if c == 0:
         return [], []
     s = np.asarray(unpack_moves(moves[:, k], c), np.int64)
-    di = (s != CELL_GAPINX).astype(np.int64)
-    dj = (s != CELL_GAPINY).astype(np.int64)
-    ib = i0 - np.concatenate([[0], np.cumsum(di[:-1])])
-    jb = j0 - np.concatenate([[0], np.cumsum(dj[:-1])])
-    r1 = np.where(s == CELL_GAPINX, -1, ib - 1)
-    r2 = np.where(s == CELL_GAPINY, -1, jb - 1)
-    return r1[::-1].tolist(), r2[::-1].tolist()
+    return _states_to_path(s, i0, j0)
+
+
+def tokens_to_path(toks: np.ndarray, cnt: np.ndarray, i0: int, j0: int,
+                   k: int):
+    """Like :func:`moves_to_path` for token streams (one byte/token,
+    state bits 0-1, extra MATCH steps bits 2-5)."""
+    c = int(cnt[k])
+    if c == 0:
+        return [], []
+    s = np.asarray(tokens_to_states(toks[:, k], c), np.int64)
+    return _states_to_path(s, i0, j0)

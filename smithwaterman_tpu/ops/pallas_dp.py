@@ -208,15 +208,17 @@ def _kernel(
     ckpt: bool = False,
     masked_s: bool = False,
     finals_gate: bool = False,
+    emit_runs: bool = False,
 ):
     """Ref layout (flag-dependent):
       inputs:  n (1,TBP,1), m (1,TBP,1),
                [finals_gate: finals (G, n_row_blocks) SMEM, full array],
                [seeded: i0 (1,1) SMEM, icm/icx/icy (1,TBP,MP)],
                S (1,RB,TBP,MP)
-      outputs: [not score_only: tb (1,RB,TBP,MP)], stats (1,TBP,STATS_W),
+      outputs: [not score_only: tb (1,RB,TBP,MP)],
+               [emit_runs: run (1,RB,TBP,MP)], stats (1,TBP,STATS_W),
                [ckpt: ckm/ckx/cky (1,1,TBP,MP)]
-      scratch: cm, cx, cy, runbest, runbest_i, acc
+      scratch: cm, cx, cy, runbest, runbest_i, acc, [emit_runs: run carry]
     """
     it = iter(refs)
     n_ref = next(it)
@@ -229,6 +231,7 @@ def _kernel(
         icy_ref = next(it)
     s_ref = next(it)
     tb_ref = None if score_only else next(it)
+    run_ref = next(it) if emit_runs else None
     stats_ref = next(it)
     if ckpt:
         ckm_ref = next(it)
@@ -236,10 +239,11 @@ def _kernel(
         cky_ref = next(it)
     # scratch: slots 4-6 are mode-dependent (LOCAL: running best value,
     # best-row i32, stats acc; otherwise: the captured (M, X, Y) rows at
-    # each pair's final row i == n)
-    cm, cx, cy, s4, s5, s6 = it
+    # each pair's final row i == n); emit_runs appends a run-carry slot
+    cm, cx, cy, s4, s5, s6, *s_extra = it
     runbest, runbest_i = s4, s5
     fM_s, fX_s, fY_s = s4, s5, s6
+    run_c = s_extra[0] if emit_runs else None
 
     rb = pl.program_id(1)
     if mode == GLOBAL:
@@ -299,6 +303,10 @@ def _kernel(
             cm[:, :] = lsc + sent
             cx[:, :] = lsc
             cy[:, :] = lsc + sent
+        if emit_runs:
+            # row 0 boundary: capped fill (e=15, x=M) — see the run-byte
+            # comment in one_row
+            run_c[:, :] = jnp.full((tbp, mp), 15, jnp.int32)
         if mode == LOCAL:
             runbest[:, :] = jnp.full((tbp, mp), NEG, jnp.float32)
             if track_arg:
@@ -309,7 +317,8 @@ def _kernel(
             fX_s[:, :] = z
             fY_s[:, :] = z
 
-    def one_row(r, Mp, Xp, Yp, rbv, rbi, accv, capture=True, interior=False):
+    def one_row(r, Mp, Xp, Yp, rbv, rbi, accv, Rp=None, capture=True,
+                interior=False):
         """One DP row entirely in registers: consumes the previous row's
         (M, X, Y) values, returns this row's — scratch is only touched at
         row-group boundaries (VMEM carry traffic was the kernel's main
@@ -493,6 +502,50 @@ def _kernel(
             # fields carry their final bit positions; pack is 2 ORs
             tb_ref[0, r, :, :] = (prev_m | prev_x | prev_y).astype(jnp.uint8)
 
+            if emit_runs:
+                # Match-run byte: e (bits 0-3) = EXTRA diagonal M-steps a
+                # walk at this cell may take in one jump (run length
+                # 1+e, capped at 16), x (bits 4-5) = the state after
+                # them.  Diagonal recurrence off the previous row's byte
+                # (shifted one lane, like the M path itself):
+                #   prev_m != M            -> (0, prev_m)   one step
+                #   prev_m == M, diag STOP -> (0, STOP)     emit this
+                #     cell only, then stop WITHOUT emitting the diag
+                #     (LOCAL zero cells are never emitted; walking "into"
+                #     them is what ends a local path)
+                #   prev_m == M, diag capped (e_d==15, x_d!=STOP)
+                #                          -> (0, M)        jump restarts
+                #   prev_m == M, else      -> (e_d+1, x_d)
+                # STOP cells themselves store the reserved (15, STOP)
+                # marker — the walk treats landing there in state M as
+                # done-without-emission, mirroring walk_tiled.  Boundary
+                # diagonals (row 0 / lane 0) read the capped fill
+                # (15, M): one step onto the boundary, where the walk's
+                # boundary logic takes over.
+                e_d = _shift_right(Rp & 15, jnp.int32(15))
+                x_d = _shift_right(Rp >> 4, jnp.int32(0))
+                is_m = prev_m == 0
+                diag_stop = (e_d == 15) & (x_d == CELL_STOP)
+                # chains whose exit is STOP cap one earlier (e <= 14):
+                # (15, STOP) must stay reserved for stop cells, or a
+                # 16-long match chain ending at a zero cell would forge
+                # the marker and truncate walks
+                ecap = jnp.where(x_d == CELL_STOP, 14, 15)
+                cont = is_m & jnp.logical_not(diag_stop) & (e_d < ecap)
+                e = jnp.where(cont, e_d + 1, 0)
+                x = jnp.where(
+                    cont, x_d,
+                    jnp.where(is_m,
+                              jnp.where(diag_stop, CELL_STOP, 0),
+                              prev_m),
+                )
+                if mode == LOCAL:
+                    is_stop = prev_m == CELL_STOP
+                    e = jnp.where(is_stop, 15, e)
+                    x = jnp.where(is_stop, CELL_STOP, x)
+                Rp = e | (x << 4)
+                run_ref[0, r, :, :] = Rp.astype(jnp.uint8)
+
         # ---- running best (local): strict `>` keeps the first (smallest) i
         if mode == LOCAL:
             if masked_s:
@@ -512,7 +565,7 @@ def _kernel(
                     upd = val_m > rbv
                     rbv = jnp.where(upd, val_m, rbv)
                     rbi = jnp.where(upd, i, rbi)
-                return val_m, val_x, val_y, rbv, rbi, accv
+                return val_m, val_x, val_y, rbv, rbi, accv, Rp
             in_range = valid_j & (i <= nvec)
             masked = jnp.where(in_range, val_m, NEG)
             if not track_arg:
@@ -531,7 +584,7 @@ def _kernel(
             fX = jnp.where(sel, val_x, fXv)
             fY = jnp.where(sel, val_y, fYv)
             accv = (fM, fX, fY)
-        return val_m, val_x, val_y, rbv, rbi, accv
+        return val_m, val_x, val_y, rbv, rbi, accv, Rp
 
     # rows chained in registers per loop iteration; scratch touched once
     # per group (R=8 measured best on both paths at the headline shape —
@@ -542,6 +595,7 @@ def _kernel(
     def make_group_step(capture, interior):
         def group_step(g, _):
             Mp, Xp, Yp = cm[:, :], cx[:, :], cy[:, :]
+            Rp = run_c[:, :] if emit_runs else None
             if mode == LOCAL:
                 rbv = runbest[:, :]
                 rbi = runbest_i[:, :] if track_arg else None
@@ -552,13 +606,15 @@ def _kernel(
             else:
                 rbv = rbi = accv = None
             for q in range(R):
-                Mp, Xp, Yp, rbv, rbi, accv = one_row(
-                    g * R + q, Mp, Xp, Yp, rbv, rbi, accv,
+                Mp, Xp, Yp, rbv, rbi, accv, Rp = one_row(
+                    g * R + q, Mp, Xp, Yp, rbv, rbi, accv, Rp,
                     capture=capture, interior=interior,
                 )
             cm[:, :] = Mp
             cx[:, :] = Xp
             cy[:, :] = Yp
+            if emit_runs:
+                run_c[:, :] = Rp
             if mode == LOCAL:
                 runbest[:, :] = rbv
                 if track_arg:
@@ -644,7 +700,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "og", "eg", "score_only", "interpret",
-                     "masked_s"),
+                     "masked_s", "emit_runs"),
 )
 def fill_tiled(
     S,  # (G, NP, TBP, MP) int8 or f32
@@ -657,6 +713,7 @@ def fill_tiled(
     score_only: bool = False,
     interpret: bool = False,
     masked_s: bool = False,
+    emit_runs: bool = False,
 ):
     """Run the fill kernel over G tiles of TBP pairs.
 
@@ -668,6 +725,12 @@ def fill_tiled(
     ``masked_s=True`` asserts the caller poisoned padded cells of S
     (``batch.scores_tiled(..., n=, m=)``), letting the LOCAL score-only
     path drop its per-row argmax mask (~2 wide ops/row).
+
+    ``emit_runs=True`` (traceback fills only) additionally returns a
+    ``run`` array (same shape/dtype as tb): per-cell match-run bytes the
+    token walks use to take up to 16 diagonal steps per serial iteration
+    (see the run-byte comment in _kernel).  Return becomes
+    ``(tb, run, stats)``.
     """
     G, NP, tbp, MP = S.shape
     assert tbp % TB == 0, f"pair-tile {tbp} must be a multiple of {TB}"
@@ -676,6 +739,7 @@ def fill_tiled(
     assert n_row_blocks * rb_rows == NP
 
     finals_gate = _use_finals_gate(mode, score_only, rb_rows)
+    assert not (emit_runs and score_only), "runs need a traceback fill"
     kernel = functools.partial(
         _kernel,
         mode=mode,
@@ -688,6 +752,7 @@ def fill_tiled(
         score_only=score_only,
         masked_s=masked_s,
         finals_gate=finals_gate,
+        emit_runs=emit_runs,
     )
 
     in_specs = [
@@ -719,7 +784,7 @@ def fill_tiled(
     stats_shape = jax.ShapeDtypeStruct((G, tbp, STATS_W), jnp.float32)
     stats_spec = pl.BlockSpec((1, tbp, STATS_W), lambda ib, rb: (ib, 0, 0),
                               memory_space=pltpu.VMEM)
-    scratch = _scratch(tbp, MP, mode)
+    scratch = _scratch(tbp, MP, mode, emit_runs=emit_runs)
     grid = (G, n_row_blocks)
     # vmem_limit_bytes: the default 16 MiB scoped-VMEM cap is exceeded by
     # the unrolled row-group temporaries at (tile=128, MP>=1024) with
@@ -751,6 +816,19 @@ def fill_tiled(
     tb_shape = jax.ShapeDtypeStruct((G, NP, tbp, MP), jnp.uint8)
     tb_spec = pl.BlockSpec((1, rb_rows, tbp, MP), lambda ib, rb: (ib, rb, 0, 0),
                            memory_space=pltpu.VMEM)
+    if emit_runs:
+        tb, run, stats = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_shape=(tb_shape, tb_shape, stats_shape),
+            out_specs=(tb_spec, tb_spec, stats_spec),
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
+        return tb, run, stats
     tb, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -779,10 +857,11 @@ def _common_specs(tbp, rb_rows, MP, dtype_itemsize=None):
     return in_specs, s_spec, stats_spec
 
 
-def _scratch(tbp, MP, mode):
+def _scratch(tbp, MP, mode, emit_runs: bool = False):
     """Slots 0-2: (M, X, Y) carries.  Slots 3-5 are mode-dependent: LOCAL
     tracks the running best value + its row; other modes capture the
-    (M, X, Y) rows at each pair's final row i == n (see _kernel)."""
+    (M, X, Y) rows at each pair's final row i == n (see _kernel).
+    ``emit_runs`` appends the match-run carry slot."""
     common = [
         pltpu.VMEM((tbp, MP), jnp.float32),
         pltpu.VMEM((tbp, MP), jnp.float32),
@@ -790,14 +869,18 @@ def _scratch(tbp, MP, mode):
         pltpu.VMEM((tbp, MP), jnp.float32),
     ]
     if mode == LOCAL:
-        return common + [
+        out = common + [
             pltpu.VMEM((tbp, MP), jnp.int32),       # runbest_i
             pltpu.VMEM((tbp, STATS_W), jnp.float32),  # unused
         ]
-    return common + [
-        pltpu.VMEM((tbp, MP), jnp.float32),  # fX
-        pltpu.VMEM((tbp, MP), jnp.float32),  # fY
-    ]
+    else:
+        out = common + [
+            pltpu.VMEM((tbp, MP), jnp.float32),  # fX
+            pltpu.VMEM((tbp, MP), jnp.float32),  # fY
+        ]
+    if emit_runs:
+        out.append(pltpu.VMEM((tbp, MP), jnp.int32))  # match-run carry
+    return out
 
 
 @functools.partial(

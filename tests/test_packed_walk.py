@@ -193,15 +193,21 @@ def test_pooled_walk_no_retrace_on_shuffled_workload(monkeypatch):
     pairs = _rand_pairs(rng, 24, lo=3, hi=250)
     ba = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
                           device_walk=True)
+    def _walk_cache():
+        # tokens route through walk_bundle_pooled_tokens (default);
+        # SWTPU_TOKEN_WALK=0 workloads use walk_bundle_pooled
+        return (device_walk.walk_bundle_pooled._cache_size()
+                + device_walk.walk_bundle_pooled_tokens._cache_size())
+
     r1 = ba.align_pairs(pairs)
-    size1 = device_walk.walk_bundle_pooled._cache_size()
+    size1 = _walk_cache()
     fsize1 = batch_ops.fill_many._cache_size()
     assert size1 > 0  # the pooled path actually ran
     assert fsize1 > 0
     perm = rng.permutation(len(pairs))
     shuffled = [pairs[int(i)] for i in perm]
     r2 = ba.align_pairs(shuffled)
-    size2 = device_walk.walk_bundle_pooled._cache_size()
+    size2 = _walk_cache()
     assert batch_ops.fill_many._cache_size() == fsize1, (
         "shuffled same-workload dispatch re-traced the pooled fill"
     )
