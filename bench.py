@@ -104,6 +104,10 @@ def main():
         from smithwaterman_tpu.utils.metrics import hbm_stream_probe
 
         gbs = hbm_stream_probe()
+        if gbs is None:
+            print("# hbm probe failed or unavailable (window context "
+                  "missing — treat auxiliary numbers with care)",
+                  file=sys.stderr)
         if gbs is not None:
             print(f"# hbm_stream_gbs={gbs:.0f} (healthy v5e ~800)",
                   file=sys.stderr)

@@ -77,7 +77,10 @@ engine = BatchAligner(mode=LOCAL)
 # INSIDE the timed region and read as a fake per-process fixed cost.
 # The trailing PARTIAL chunk can tile differently — warm it too.
 engine.align_pairs([(seqs[0], seqs[1])] * CHUNK, retain_all=True)
-last = NPAIRS % CHUNK
+# the sweep runs the full triangle of nseq (>= NPAIRS requested pairs):
+# warm the ACTUAL trailing partial chunk or its compile lands back in
+# the timed region
+last = (nseq * (nseq - 1) // 2) % CHUNK
 if last:
     engine.align_pairs([(seqs[0], seqs[1])] * last, retain_all=True)
 

@@ -83,9 +83,8 @@ def main():
         g0 = 0
         for gc in _pow2_chunks(B // tile, cap=8):
             lo, hi = g0 * tile, (g0 + gc) * tile
-            chunks.append((a[lo:hi], b[lo:hi],
-                           jnp.asarray(n[lo:hi]), jnp.asarray(m[lo:hi])))
-            metas.append((tile, False, True))
+            chunks.append((a[lo:hi], b[lo:hi], n[lo:hi], m[lo:hi]))
+            metas.append((hi - lo, NP, MP, tile, False, True))
             g0 += gc
     print(json.dumps({"n_chunks": len(chunks)}), flush=True)
 
@@ -107,25 +106,31 @@ def main():
 
     def run_merged():
         ch = _bumped()
+        flats = tuple(np.concatenate([c1.ravel(), c2.ravel()])
+                      for c1, c2, n_, m_ in ch)
+        lens = jnp.asarray(np.concatenate(
+            [np.concatenate([n_, m_]) for c1, c2, n_, m_ in ch]), jnp.int32)
         t0 = time.time()
         outs = batch_ops.fill_many(
-            table, tuple(ch), as_int8=True, mode=LOCAL,
+            table, flats, lens, as_int8=True, mode=LOCAL,
             og=-10.0, eg=-0.5, interpret=False, metas=tuple(metas))
         # ONE sync only: programs execute in dispatch order, so a VALUE
         # read of the last stats block proves everything ran (a block/
-        # read per chunk would add ~25 ms of round trip per chunk)
-        _ = float(np.asarray(outs[-1][1])[0, 0, 0])
+        # read per chunk would add ~25 ms of round trip per chunk).
+        # fill_many returns (tb, run, stats) triples.
+        _ = float(np.asarray(outs[-1][2])[0, 0, 0])
         return time.time() - t0
 
     def run_per_chunk():
         ch = _bumped()
         t0 = time.time()
         outs = []
-        for (c1, c2, n, m), (tile, so, mk) in zip(ch, metas):
+        for (c1, c2, n, m), (B_, NP_, MP_, tile, so, mk) in zip(ch, metas):
             outs.append(batch_ops.fill_from_codes(
-                table, c1, c2, n, m, as_int8=True, tile=tile, mode=LOCAL,
-                og=-10.0, eg=-0.5, score_only=so, interpret=False,
-                masked=mk))
+                table, c1, c2, jnp.asarray(n, jnp.int32),
+                jnp.asarray(m, jnp.int32), as_int8=True, tile=tile,
+                mode=LOCAL, og=-10.0, eg=-0.5, score_only=so,
+                interpret=False, masked=mk))
         _ = float(np.asarray(outs[-1][1])[0, 0, 0])
         return time.time() - t0
 

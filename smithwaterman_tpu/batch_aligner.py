@@ -713,7 +713,7 @@ class BatchAligner:
         self._tb_inflight_bytes += new_bytes
 
     def _stage_fill(self, codes1, codes2, n, m, tile, masked, score_only,
-                    pend, ref) -> None:
+                    ref) -> None:
         """Register one chunk's score+fill for the pooled fill program
         (ops/batch.fill_many).  When the staged pointer bytes would pass
         the GLOBAL HBM budget, flush fills AND walks together: the walk
@@ -747,7 +747,7 @@ class BatchAligner:
             flat=jax.device_put(flat),
             B=codes1.shape[0], NP=codes1.shape[1], MP=codes2.shape[1],
             n=n, m=m, tile=tile,
-            masked=masked, score_only=score_only, pend=pend, ref=ref,
+            masked=masked, score_only=score_only, ref=ref,
         ))
         self._fill_stage_tb += tb_bytes
 
@@ -1064,7 +1064,7 @@ class BatchAligner:
                     "Bp": codes1.shape[0], "ref": ref}
             if self.pooled_fill:
                 self._stage_fill(codes1, codes2, n, m, tile, masked_s,
-                                 False, pend, ref)
+                                 False, ref)
                 return pend
             table = np.asarray(self.scoring_matrix.table, np.float32)
             tb, stats = batch_ops.fill_from_codes(
@@ -1089,7 +1089,7 @@ class BatchAligner:
                 pend = {"kind": "stats_only", "stats_d": None,
                         "ref": ref_so}
                 self._stage_fill(codes1, codes2, n, m, tile, masked_s,
-                                 True, pend, ref_so)
+                                 True, ref_so)
                 return pend
             table = np.asarray(self.scoring_matrix.table, np.float32)
             _, stats = batch_ops.fill_from_codes(

@@ -249,9 +249,16 @@ def run_pairfiles(opts: AlignmentOptions, engine: BatchAligner) -> None:
                         banded.align_banded(s1, s2, band=opts.band)
                     )
                     if engine.stats is not None:
+                        from .config import bucket_len
+
                         dt = _time.time() - t0
                         ln, lm = len(s1.seq), len(s2.seq)
-                        bs = engine.stats.bucket(ln, lm)
+                        # key on padded bucket sizes like every other
+                        # path (raw lengths would mint one bucket row
+                        # per distinct pair shape)
+                        bs = engine.stats.bucket(
+                            bucket_len(ln, engine.config.buckets),
+                            bucket_len(lm, engine.config.buckets))
                         bs.pairs += 1
                         bs.padded_pairs += 1
                         bs.true_cells += ln * lm

@@ -194,8 +194,8 @@ def test_pooled_walk_no_retrace_on_shuffled_workload(monkeypatch):
     ba = swt.BatchAligner(mode=swt.LOCAL, backend="pallas_interpret",
                           device_walk=True)
     def _walk_cache():
-        # tokens route through walk_bundle_pooled_tokens (default);
-        # SWTPU_TOKEN_WALK=0 workloads use walk_bundle_pooled
+        # move streams (walk_bundle_pooled) are the default route;
+        # SWTPU_TOKEN_WALK=1 workloads use walk_bundle_pooled_tokens
         return (device_walk.walk_bundle_pooled._cache_size()
                 + device_walk.walk_bundle_pooled_tokens._cache_size())
 
